@@ -1,0 +1,24 @@
+"""kmb_tpu — a TPU-native kernel-matrix computation engine and benchmark harness.
+
+A from-scratch rebuild of the capabilities of
+`kernel-matrix-benchmarks/kernel-matrix-benchmarks` (reference mounted at
+/root/reference), designed TPU-first:
+
+- The three benchmark tasks (reference README.md:9-75):
+    * product:   a_i = sum_j k(x_i, y_j) * b_j
+    * attention: row-normalized product (normalize_rows=True)
+    * solver:    b = K^-1 a  (N == M)
+- A kernel zoo (gaussian / absolute-exponential / inverse-distance /
+  exponential) matching reference bruteforce.py:8-22 semantics exactly.
+- An HDF5 dataset layer with float64 ground truth (reference datasets.py).
+- A lifecycle algorithm API + YAML experiment definitions + best-of-N
+  timing runner + HDF5 result store + Pareto metrics/plots/website
+  (reference base.py / definitions.py / runner.py / results.py / plotting/).
+
+The new TPU compute path lives in `kmb_tpu.ops` (Pallas tiled kernels,
+online-softmax attention, matrix-free CG) and `kmb_tpu.parallel`
+(jax.sharding mesh + shard_map + psum/ppermute collectives), and plugs into
+the harness as first-class algorithms in `kmb_tpu.algorithms.tpu_engine`.
+"""
+
+__version__ = "0.1.0"

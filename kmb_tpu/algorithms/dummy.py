@@ -1,0 +1,38 @@
+"""Dummy algorithms: random output of the right shape.
+
+Harness test fixtures — they exercise the full pipeline (runner, results,
+metrics, plots) without any actual math, like reference dummy_algo.py:6-37.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
+
+
+class DummyProduct(BaseProduct):
+    """Returns an (N, E)-shaped standard-normal sample."""
+
+    def prepare_data(self, *, source_points, target_points, same_points=False,
+                     density_estimation=False):
+        self.n_targets = len(target_points)
+
+    def prepare_query(self, *, source_signal):
+        self.n_outputs = 1 if source_signal is None else source_signal.shape[1]
+
+    def query(self):
+        self.res = np.random.randn(self.n_targets, self.n_outputs)
+
+
+class DummySolver(BaseSolver):
+    """Returns an (M, E)-shaped standard-normal sample."""
+
+    def prepare_data(self, *, source_points):
+        self.n_sources = len(source_points)
+
+    def prepare_query(self, *, target_signal):
+        self.n_outputs = target_signal.shape[1]
+
+    def query(self):
+        self.res = np.random.randn(self.n_sources, self.n_outputs)

@@ -1,0 +1,87 @@
+"""Tests for dataset generation and the HDF5 spec."""
+
+import numpy as np
+
+from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
+from kmb_tpu.datasets import (
+    DATASETS, fibonacci_sphere, get_dataset, uniform_cube, write_output,
+)
+
+
+def test_registry_has_reference_datasets():
+    # The 16 reference synthetic datasets must all exist by name
+    # (reference datasets.py:383-427).
+    for task in ["product", "solver"]:
+        for n in [1000, 2000, 5000, 10000]:
+            assert (f"{task}-sphere-D3-E1-M{n}-N{n}-inverse-distance"
+                    in DATASETS)
+            assert f"{task}-cube-D3-E1-M{n}-N{n}-gaussian" in DATASETS
+
+
+def test_fibonacci_sphere_on_unit_sphere():
+    pts = fibonacci_sphere(500)
+    norms = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-12)
+
+
+def test_cube_dataset_really_in_cube(tmp_path):
+    # The reference has a bug where cube datasets sample the sphere
+    # (datasets.py:400-413); ours must sample [0, 1]^3.
+    fn = str(tmp_path / "cube.hdf5")
+    uniform_cube(n_points=100, task="product", kernel="gaussian")(fn)
+    import h5py
+    with h5py.File(fn, "r") as f:
+        pts = f["source_points"][:]
+    assert pts.min() >= 0.0 and pts.max() <= 1.0
+    # Not all on a sphere:
+    assert np.std(np.linalg.norm(pts, axis=1)) > 0.01
+
+
+def test_generated_ground_truth_is_consistent(tmp_path):
+    fn = str(tmp_path / "d.hdf5")
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((60, 3))
+    b = rng.standard_normal((60, 2))
+    write_output(
+        filename=fn, task="product", kernel="gaussian",
+        short_description="t", description="t",
+        source_points=y, source_signal=b)
+    import h5py
+    with h5py.File(fn, "r") as f:
+        assert f.attrs["task"] == "product"
+        assert f.attrs["same_points"]
+        assert not f.attrs["density_estimation"]
+        k = kernel_matrix(kernel="gaussian", source_points=y)
+        np.testing.assert_allclose(
+            f["target_signal"][:], k @ b, rtol=1e-12)
+
+
+def test_attention_dataset_truth_normalized(tmp_path):
+    fn = str(tmp_path / "att.hdf5")
+    rng = np.random.default_rng(4)
+    y = 0.3 * rng.standard_normal((40, 5))
+    b = rng.standard_normal((40, 2))
+    write_output(
+        filename=fn, task="attention", kernel="exponential",
+        short_description="t", description="t",
+        source_points=y, source_signal=b, normalize_rows=True)
+    import h5py
+    with h5py.File(fn, "r") as f:
+        assert f.attrs["normalize_rows"]
+        k = kernel_matrix(kernel="exponential", source_points=y)
+        expected = (k @ b) / k.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(f["target_signal"][:], expected, rtol=1e-12)
+
+
+def test_get_dataset_generates_and_loads():
+    name = "product-sphere-D3-E1-M1000-N1000-inverse-distance"
+    f, dim = get_dataset(name)
+    try:
+        assert dim == 3
+        assert f["source_points"].shape == (1000, 3)
+        assert f["target_signal"].shape == (1000, 1)
+        assert f.attrs["kernel"] == "inverse-distance"
+        # Singular kernel has finite ground truth (diagonal masked):
+        assert np.all(np.isfinite(f["target_signal"][:]))
+    finally:
+        f.close()
