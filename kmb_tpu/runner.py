@@ -1,0 +1,208 @@
+"""Benchmark runner: drives the algorithm lifecycle and times it.
+
+Rebuild of reference runner.py:23-176, with subprocess isolation replacing
+Docker containers (reference runner.py:242-317): on a TPU host the benchmark
+process must own the chip, so each experiment can run in a fresh
+`python run_algorithm.py ...` child with a hard timeout — giving the same
+hermetic "one experiment, one process" property without container overhead.
+
+Timing protocol (reference main.py:121-129, runner.py:102-105, 145-147):
+best of `runs` repetitions for both the build and the query phase; run #1
+absorbs JIT/XLA compile time by design.  Timed phases must internally fence
+device work (`jax.block_until_ready`) — that is the algorithm wrapper's
+contract, see algorithms/tpu_engine.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+from kmb_tpu.datasets import DATASETS, get_dataset
+from kmb_tpu.definitions import Definition, instantiate_algorithm
+from kmb_tpu.results import CustomJSONizer, store_result
+
+logger = logging.getLogger("kmb")
+
+
+def run(*, definition, dataset, runs):
+    """Run one experiment `runs` times and store the best-time result."""
+
+    f, _ = get_dataset(dataset)
+    source_points = f["source_points"][:]
+    target_points = f["target_points"][:]
+    source_signal = f["source_signal"][:]
+    target_signal = f["target_signal"][:]
+    point_type = f.attrs["point_type"]
+    kernel = f.attrs["kernel"]
+    same_points = bool(f.attrs["same_points"])
+    normalize_rows = bool(f.attrs["normalize_rows"])
+    density_estimation = bool(f.attrs["density_estimation"])
+    f.close()
+
+    m, d = source_points.shape
+    n, e = target_signal.shape
+    logger.info(
+        "M=%d source points, N=%d target points, D=%d, E=%d, kernel=%s, "
+        "same_points=%s normalize_rows=%s density_estimation=%s",
+        m, n, d, e, kernel, same_points, normalize_rows, density_estimation)
+
+    algo = None
+    try:
+        # ---- build phase: best of `runs` ------------------------------
+        build_time = float("inf")
+        mem_footprint = float("inf")
+        for _ in range(runs):
+            candidate = instantiate_algorithm(definition)
+
+            if candidate.task == "product":
+                candidate.prepare_data(
+                    source_points=source_points,
+                    target_points=target_points,
+                    same_points=same_points,
+                    density_estimation=density_estimation,
+                )
+                query_data = {"source_signal": source_signal}
+                true_answer = target_signal
+            elif candidate.task == "solver":
+                candidate.prepare_data(source_points=source_points)
+                query_data = {"target_signal": target_signal}
+                true_answer = source_signal
+            else:
+                raise NotImplementedError(
+                    f"Unknown task {candidate.task!r}.")
+
+            mem_before = candidate.get_memory_usage()
+            t0 = time.perf_counter()
+            candidate.fit()
+            this_build = time.perf_counter() - t0
+            this_mem = candidate.get_memory_usage() - mem_before
+
+            if this_build <= build_time:
+                if algo is not None and algo is not candidate:
+                    algo.done()
+                algo = candidate
+                build_time = this_build
+                mem_footprint = this_mem
+            else:
+                candidate.done()
+
+        logger.info("Precomputation done in %.2es (mem %.2ekB).",
+                    build_time, mem_footprint)
+
+        # ---- query phase, per query-argument group --------------------
+        query_argument_groups = definition.query_argument_groups or [{}]
+        for pos, query_arguments in enumerate(query_argument_groups, 1):
+            logger.info("Query argument group %d/%d: %s",
+                        pos, len(query_argument_groups), query_arguments)
+            algo.set_query_arguments(**query_arguments)
+
+            query_time = float("inf")
+            result = None
+            for i in range(runs):
+                algo.prepare_query(**query_data)     # untimed staging
+                start = time.perf_counter()
+                algo.query()                          # TIMED
+                this_query = time.perf_counter() - start
+                this_result = algo.get_result()       # untimed device->host
+                if this_query <= query_time:
+                    query_time = this_query
+                    result = this_result
+                logger.info("Run %d/%d: %.2es", i + 1, runs, this_query)
+
+            attrs = dict(
+                dataset=dataset,
+                algo=definition.algorithm,
+                name=str(algo),
+                kernel=kernel,
+                point_type=point_type,
+                run_count=runs,
+                build_time=build_time,
+                query_time=query_time,
+                memory_footprint=mem_footprint,
+                **algo.get_additional(),
+            )
+            fn = store_result(
+                dataset=dataset,
+                definition=definition,
+                query_arguments=query_arguments,
+                attrs=attrs,
+                result=result,
+                error=result - true_answer,
+            )
+            logger.info("Stored result: %s", fn)
+    finally:
+        if algo is not None:
+            algo.done()
+
+
+def run_from_cmdline(argv=None):
+    """In-child CLI: reconstructs a Definition from JSON-encoded args.
+
+    This is the entry point used by subprocess isolation
+    (`run_algorithm.py`), mirroring the reference's in-container CLI
+    (runner.py:179-239).
+    """
+    parser = argparse.ArgumentParser(
+        "NOTICE: you probably want run.py rather than this script.")
+    parser.add_argument("--dataset", required=True, choices=DATASETS.keys())
+    parser.add_argument("--algorithm", required=True)
+    parser.add_argument("--module", required=True)
+    parser.add_argument("--constructor", required=True)
+    parser.add_argument("--runs", required=True, type=int)
+    parser.add_argument("build", help="JSON constructor kwargs")
+    parser.add_argument("queries", nargs="*", default=["{}"],
+                        help="JSON list of query-argument dicts")
+    args = parser.parse_args(argv)
+
+    definition = Definition(
+        algorithm=args.algorithm,
+        module=args.module,
+        constructor=args.constructor,
+        arguments=json.loads(args.build),
+        query_argument_groups=[json.loads(q) for q in args.queries],
+    )
+    run(definition=definition, dataset=args.dataset, runs=args.runs)
+
+
+def run_subprocess(*, definition, dataset, runs, timeout=None):
+    """Run one experiment in a fresh child process with a hard timeout.
+
+    Replaces the reference's Docker path (runner.py:242-317): same
+    isolation semantics (fresh interpreter, bounded wall-clock, crash
+    containment) without requiring a container runtime.
+    """
+    cmd = [
+        sys.executable, "-u",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "run_algorithm.py"),
+        "--dataset", dataset,
+        "--algorithm", definition.algorithm,
+        "--module", definition.module,
+        "--constructor", definition.constructor,
+        "--runs", str(runs),
+        json.dumps(definition.arguments, cls=CustomJSONizer),
+    ]
+    cmd += [json.dumps(qag, cls=CustomJSONizer)
+            for qag in definition.query_argument_groups]
+
+    logger.info("Launching child: %s", " ".join(cmd))
+    try:
+        proc = subprocess.run(
+            cmd, timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        logger.error("Experiment timed out after %ss: %s",
+                     timeout, definition.algorithm)
+        return False
+    for line in (proc.stdout or "").splitlines():
+        logger.info("[child] %s", line)
+    if proc.returncode != 0:
+        logger.error("Child failed (exit %d):\n%s",
+                     proc.returncode, proc.stderr)
+        return False
+    return True
