@@ -1,0 +1,201 @@
+"""The TPU engine: harness-facing wrappers around the Pallas/XLA ops.
+
+These are the first-class TPU algorithms that plug into the benchmark
+harness (the slot the reference reserves for external native libraries like
+Htool, htool.py:15-165 — except here the native layer is Pallas/XLA):
+
+- `TpuProduct`: streaming tiled kernel product / attention.  `fit` is a
+  no-op — the streaming design has no precomputation, shifting all cost to
+  `query` (and making the (build+query) Pareto point strictly better).
+- `TpuSolverDirect`: dense factorization solver (fit = materialize K +
+  factorize on the MXU; query = back-substitution).
+- `TpuSolverCG`: matrix-free conjugate gradient on the streaming matvec;
+  O(M) memory, the only option at M ~ 10^6.  Exposes `tol` / `max_iters`
+  as query arguments and reports iteration counts via `get_additional`.
+
+Timing contract: every `query()` ends with `block_until_ready()` so the
+harness's wall-clock timer measures real device work despite JAX's async
+dispatch (SURVEY.md §5 "timing semantics under async dispatch").  Device
+transfers and dtype casts happen in the untimed `prepare_*` hooks
+(reference base.py:64-67 notes GPU transfer belongs exactly there).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
+from kmb_tpu.ops.kernels import KERNELS
+from kmb_tpu.ops.product import kernel_matvec
+from kmb_tpu.ops.solve import cg_solve, dense_apply, dense_factor
+
+
+def _device_bytes_in_use():
+    """Live HBM bytes on device 0, or None if the backend can't report it."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use")
+    except Exception:
+        return None
+
+
+class _TpuAlgorithm:
+    """Shared helpers: device staging and HBM-aware memory accounting."""
+
+    def _check_kernel(self, kernel):
+        if kernel not in KERNELS:
+            raise NotImplementedError(
+                f"{type(self).__name__} doesn't support kernel {kernel!r}.")
+
+    def get_memory_usage(self):
+        """HBM bytes (kB) when available — the TPU analog of RSS deltas."""
+        device = _device_bytes_in_use()
+        if device is not None:
+            return device / 1024
+        import psutil
+        return psutil.Process().memory_info().rss / 1024
+
+
+class TpuProduct(_TpuAlgorithm, BaseProduct):
+    """Streaming Pallas kernel product / attention on TPU."""
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", block_n=None, block_m=None):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        self._check_kernel(kernel)
+        self.block_n = block_n
+        self.block_m = block_m
+        self.name = f"TpuProduct({precision})"
+
+    def prepare_data(self, *, source_points, target_points, same_points=False,
+                     density_estimation=False):
+        # Untimed: host->device transfer at float32 (the compute dtype is
+        # chosen inside the engine; float64 never touches the TPU).
+        self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
+        self.x = (self.y if same_points else jax.device_put(
+            np.asarray(target_points, dtype=np.float32)))
+        self.same_points = same_points
+        self.density_estimation = density_estimation
+
+    def fit(self):
+        # No precomputation: the streaming engine never builds K.
+        pass
+
+    def prepare_query(self, *, source_signal):
+        self.b = (None if self.density_estimation else jax.device_put(
+            np.asarray(source_signal, dtype=np.float32)))
+
+    def query(self):
+        out = kernel_matvec(
+            self.x, self.y, self.b,
+            kernel_name=self.kernel,
+            normalize_rows=self.normalize_rows,
+            density_estimation=self.density_estimation,
+            precision=self.precision,
+            block_n=self.block_n,
+            block_m=self.block_m,
+        )
+        self.res = jax.block_until_ready(out)
+
+    def get_result(self):
+        return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
+
+
+class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
+    """Dense MXU factorization solver (K fits in HBM)."""
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", method="lu"):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        self._check_kernel(kernel)
+        self.method = method
+        self.name = f"TpuSolverDirect({precision}, {method})"
+
+    def prepare_data(self, *, source_points):
+        self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
+
+    def fit(self):
+        # TIMED: materialize K on-device and factorize it on the MXU.
+        self.factor = jax.block_until_ready(dense_factor(
+            self.y, kernel_name=self.kernel, precision=self.precision,
+            method=self.method))
+
+    def prepare_query(self, *, target_signal):
+        self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
+
+    def query(self):
+        self.res = jax.block_until_ready(dense_apply(
+            self.factor, self.rhs, method=self.method))
+
+    def get_result(self):
+        return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
+
+    def done(self):
+        self.factor = None
+
+
+class TpuSolverCG(_TpuAlgorithm, BaseSolver):
+    """Matrix-free conjugate gradient on the streaming Pallas matvec."""
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", tol=1e-6, max_iters=1000,
+                 block_n=None, block_m=None):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        self._check_kernel(kernel)
+        self.tol = tol
+        self.max_iters = max_iters
+        self.block_n = block_n
+        self.block_m = block_m
+        self.iterations = 0
+        self.residual = float("nan")
+        self.name = f"TpuSolverCG({precision}, tol={tol})"
+
+    def prepare_data(self, *, source_points):
+        self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
+
+    def fit(self):
+        # No precomputation (a Nystrom/Jacobi preconditioner would go here).
+        pass
+
+    def set_query_arguments(self, tol=None, max_iters=None):
+        if tol is not None:
+            self.tol = tol
+        if max_iters is not None:
+            self.max_iters = max_iters
+        self.name = f"TpuSolverCG({self.precision}, tol={self.tol})"
+
+    def prepare_query(self, *, target_signal):
+        self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
+
+    def query(self):
+        y = self.y
+
+        def matvec(v):
+            return kernel_matvec(
+                y, y, v, kernel_name=self.kernel, precision=self.precision,
+                block_n=self.block_n, block_m=self.block_m)
+
+        b, iters, residual = cg_solve(
+            self.y, self.rhs,
+            kernel_name=self.kernel,
+            precision=self.precision,
+            tol=float(self.tol),
+            max_iters=int(self.max_iters),
+            matvec=matvec,
+        )
+        self.res = jax.block_until_ready(b)
+        self.iterations = int(iters)
+        self.residual = float(residual)
+
+    def get_additional(self):
+        return {"cg_iterations": self.iterations,
+                "cg_relative_residual": self.residual}
+
+    def get_result(self):
+        return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)

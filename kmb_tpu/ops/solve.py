@@ -1,0 +1,165 @@
+"""Kernel linear-system solvers: b = K^-1 a on TPU.
+
+Two regimes (reference counterpart: scipy lstsq, bruteforce.py:205-207):
+
+- `dense_solve`: materialize K once with an MXU-friendly augmented matmul
+  and factorize (Cholesky for SPD kernels, LU for the indefinite
+  inverse-distance matrix).  Right choice while K fits in HBM
+  (M <~ 40k at f32 on a 16GB chip).
+
+- `cg_solve`: matrix-free (preconditioned) conjugate gradient whose matvec
+  is the streaming Pallas kernel product — O(M) memory, scales to M ~ 10^6
+  and shards across chips (kernel row-sums and dot products are psum-able).
+  For the indefinite inverse-distance kernel we run CG on the normal
+  equations (K^T K b = K^T a with symmetric K => two matvecs per
+  iteration), trading iterations for unconditional robustness.
+
+All iterations run in float32 with float32 scalar reductions; iteration
+counts are recorded so the harness can report convergence behavior
+(reference get_additional hook, base.py:44).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kmb_tpu.ops.kernels import get_kernel
+from kmb_tpu.ops.product import kernel_matvec
+
+# Kernels whose Gram matrix is symmetric positive (semi-)definite on
+# distinct points; CG applies directly.  The zero-diagonal
+# inverse-distance matrix is symmetric indefinite -> normal equations.
+SPD_KERNELS = frozenset({"gaussian", "absolute-exponential", "exponential"})
+
+
+def kernel_matrix_xla(x, y, *, kernel_name: str, precision: str = "float32",
+                      mask_diagonal: Optional[bool] = None):
+    """Dense (N, M) kernel matrix via one HIGHEST-precision MXU matmul."""
+    spec = get_kernel(kernel_name)
+    if mask_diagonal is None:
+        mask_diagonal = spec.zero_diagonal
+    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    mxu = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+           else jax.lax.Precision.HIGHEST)
+    x = x.astype(dtype)
+    y = y.astype(dtype)
+    if spec.on == "dot":
+        form = jnp.matmul(x, y.T, precision=mxu).astype(jnp.float32)
+    else:
+        xsq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        ysq = jnp.sum(y.astype(jnp.float32) ** 2, axis=1, keepdims=True).T
+        form = xsq + ysq - 2.0 * jnp.matmul(
+            x, y.T, precision=mxu).astype(jnp.float32)
+    k = spec.fn(form)
+    if mask_diagonal:
+        n, m = k.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        k = jnp.where(rows == cols, 0.0, k)
+    return k
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "precision",
+                                              "method"))
+def dense_factor(y, *, kernel_name: str, precision: str = "float32",
+                 method: str = "lu"):
+    """Materialize K and factorize it (the timed `fit` phase of a solver).
+
+    Pivoted LU by default: robust for both the indefinite inverse-distance
+    matrix and ill-conditioned smooth SPD kernels at float32 (where an
+    unpivoted Cholesky can break down).  method="cholesky" opts into the
+    cheaper SPD factorization.
+    """
+    k = kernel_matrix_xla(y, y, kernel_name=kernel_name, precision=precision)
+    if method == "cholesky":
+        return jax.scipy.linalg.cholesky(k, lower=True)
+    return jax.scipy.linalg.lu_factor(k)
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def dense_apply(factor, rhs, *, method: str = "lu"):
+    """Back-substitution against a stored factorization (the timed query)."""
+    rhs = rhs.astype(jnp.float32)
+    if method == "cholesky":
+        return jax.scipy.linalg.cho_solve((factor, True), rhs)
+    return jax.scipy.linalg.lu_solve(factor, rhs)
+
+
+def dense_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
+                method: str = "lu"):
+    """Factorize-and-solve K b = rhs with K materialized in HBM."""
+    factor = dense_factor(y, kernel_name=kernel_name, precision=precision,
+                          method=method)
+    return dense_apply(factor, rhs, method=method)
+
+
+def _default_matvec(y, *, kernel_name, precision):
+    def matvec(v):
+        return kernel_matvec(y, y, v, kernel_name=kernel_name,
+                             precision=precision)
+    return matvec
+
+
+def _pcg(matvec: Callable, rhs, tol: float, max_iters: int):
+    """Multi-RHS preconditioned conjugate gradient (identity precond).
+
+    Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
+    every column satisfies ||r|| <= tol * ||rhs||, or at max_iters.
+    """
+    rhs = rhs.astype(jnp.float32)
+    target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
+
+    def cond(state):
+        _, r, _, rs, it = state
+        return jnp.logical_and(it < max_iters,
+                               jnp.any(rs > target_sq))
+
+    def body(state):
+        b, r, p, rs_old, it = state
+        kp = matvec(p)
+        denom = jnp.sum(p * kp, axis=0)
+        alpha = jnp.where(denom != 0.0, rs_old / denom, 0.0)
+        b = b + alpha * p
+        r = r - alpha * kp
+        rs_new = jnp.sum(r * r, axis=0)
+        beta = jnp.where(rs_old != 0.0, rs_new / rs_old, 0.0)
+        p = r + beta * p
+        return b, r, p, rs_new, it + 1
+
+    b0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    rs0 = jnp.sum(r0 * r0, axis=0)
+    b, r, _, rs, iters = jax.lax.while_loop(
+        cond, body, (b0, r0, r0, rs0, jnp.int32(0)))
+    residual = jnp.sqrt(jnp.max(rs / jnp.maximum(
+        jnp.sum(rhs * rhs, axis=0), 1e-30)))
+    return b, iters, residual
+
+
+def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
+             tol: float = 1e-6, max_iters: int = 1000,
+             matvec: Optional[Callable] = None):
+    """Matrix-free CG solve of K b = rhs.
+
+    For SPD kernels, plain CG on K.  For indefinite kernels
+    (inverse-distance), CG on the normal equations K^2 b = K rhs
+    (K symmetric), which is SPD whenever K is nonsingular.
+
+    Returns:
+        (b, iterations, relative_residual)
+    """
+    if matvec is None:
+        matvec = _default_matvec(y, kernel_name=kernel_name,
+                                 precision=precision)
+    if kernel_name in SPD_KERNELS:
+        return _pcg(matvec, rhs, tol, max_iters)
+
+    def normal_matvec(v):
+        return matvec(matvec(v))
+
+    k_rhs = matvec(rhs.astype(jnp.float32))
+    return _pcg(normal_matvec, k_rhs, tol, max_iters)

@@ -1,0 +1,239 @@
+"""Tests for the TPU compute ops (run on CPU: XLA path + Pallas interpret)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
+from kmb_tpu.ops.product import kernel_matvec_pallas, kernel_matvec_xla
+from kmb_tpu.ops.solve import (
+    cg_solve, dense_solve, kernel_matrix_xla,
+)
+
+ALL_KERNELS = ["gaussian", "absolute-exponential", "inverse-distance",
+               "exponential"]
+
+
+@pytest.fixture
+def problem(rng):
+    x = rng.standard_normal((33, 3)).astype(np.float32)
+    y = rng.standard_normal((47, 3)).astype(np.float32)
+    b = rng.standard_normal((47, 2)).astype(np.float32)
+    return x, y, b
+
+
+def _truth(kernel, x, y, b, normalize=False):
+    k = kernel_matrix(kernel=kernel, source_points=y.astype(np.float64),
+                      target_points=x.astype(np.float64))
+    out = k @ b
+    if normalize:
+        out = out / k.sum(axis=1, keepdims=True)
+    return out
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
+def test_xla_product_matches_oracle(kernel, problem):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b)
+    got = np.asarray(kernel_matvec_xla(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name=kernel,
+        block_n=8))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
+def test_pallas_interpret_matches_oracle(kernel, problem):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b)
+    got = np.asarray(kernel_matvec_pallas(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name=kernel,
+        block_n=16, block_m=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "exponential",
+                                    "inverse-distance"])
+def test_normalized_product_both_paths(kernel, problem):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b, normalize=True)
+    got_xla = np.asarray(kernel_matvec_xla(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name=kernel,
+        normalize_rows=True, block_n=8))
+    got_pl = np.asarray(kernel_matvec_pallas(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name=kernel,
+        normalize_rows=True, block_n=16, block_m=128, interpret=True))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_stability_large_logits(rng):
+    # exp(<x,y>) with logits ~ 60: naive exp overflows f32 sums only at
+    # ~88, but the online-softmax path must stay exact well past that.
+    x = (10.0 * rng.standard_normal((16, 4))).astype(np.float32)
+    y = (10.0 * rng.standard_normal((24, 4))).astype(np.float32)
+    b = rng.standard_normal((24, 1)).astype(np.float32)
+    logits = x.astype(np.float64) @ y.astype(np.float64).T
+    assert logits.max() > 100.0  # would overflow exp in f32
+    p = np.exp(logits - logits.max(axis=1, keepdims=True))
+    want = (p @ b) / p.sum(axis=1, keepdims=True)
+    got = np.asarray(kernel_matvec_pallas(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name="exponential",
+        normalize_rows=True, block_n=8, block_m=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    assert np.all(np.isfinite(got))
+
+
+def test_density_estimation_paths(problem):
+    x, y, _ = problem
+    k = kernel_matrix(kernel="gaussian", source_points=y.astype(np.float64),
+                      target_points=x.astype(np.float64))
+    want = k.sum(axis=1, keepdims=True)
+    for fn, kwargs in [
+        (kernel_matvec_xla, dict(block_n=8)),
+        (kernel_matvec_pallas, dict(block_n=16, block_m=128,
+                                    interpret=True)),
+    ]:
+        got = np.asarray(fn(jnp.array(x), jnp.array(y), None,
+                            kernel_name="gaussian",
+                            density_estimation=True, **kwargs))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+        ones = np.asarray(fn(jnp.array(x), jnp.array(y), None,
+                             kernel_name="gaussian", normalize_rows=True,
+                             density_estimation=True, **kwargs))
+        np.testing.assert_allclose(ones, np.ones((33, 1)))
+
+
+def test_same_points_diagonal_masking(rng):
+    y = rng.standard_normal((20, 3)).astype(np.float32)
+    b = rng.standard_normal((20, 1)).astype(np.float32)
+    k = kernel_matrix(kernel="inverse-distance",
+                      source_points=y.astype(np.float64))
+    want = k @ b
+    got = np.asarray(kernel_matvec_pallas(
+        jnp.array(y), jnp.array(y), jnp.array(b),
+        kernel_name="inverse-distance", block_n=8, block_m=128,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert np.all(np.isfinite(got))
+
+
+def test_bfloat16_precision_tier(problem):
+    x, y, b = problem
+    want = _truth("gaussian", x, y, b)
+    got = np.asarray(kernel_matvec_pallas(
+        jnp.array(x), jnp.array(y), jnp.array(b), kernel_name="gaussian",
+        precision="bfloat16", block_n=16, block_m=128, interpret=True))
+    # Coarse but not garbage:
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.05
+
+
+def test_kernel_matrix_xla_matches_oracle(problem):
+    x, y, _ = problem
+    for kernel in ALL_KERNELS:
+        want = kernel_matrix(kernel=kernel,
+                             source_points=y.astype(np.float64),
+                             target_points=x.astype(np.float64))
+        got = np.asarray(kernel_matrix_xla(
+            jnp.array(x), jnp.array(y), kernel_name=kernel))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestSolvers:
+    def _spd_problem(self, rng, kernel="gaussian", m=64, e=2):
+        y = rng.standard_normal((m, 3)).astype(np.float32)
+        b = rng.standard_normal((m, e)).astype(np.float32)
+        k = kernel_matrix(kernel=kernel, source_points=y.astype(np.float64))
+        rhs = (k @ b).astype(np.float32)
+        return y, b, rhs
+
+    def test_dense_solve_spd(self, rng):
+        y, b, rhs = self._spd_problem(rng)
+        got = np.asarray(dense_solve(jnp.array(y), jnp.array(rhs),
+                                     kernel_name="gaussian"))
+        np.testing.assert_allclose(got, b, atol=5e-2)
+
+    def test_dense_solve_cholesky(self, rng):
+        y, b, rhs = self._spd_problem(rng)
+        got = np.asarray(dense_solve(jnp.array(y), jnp.array(rhs),
+                                     kernel_name="gaussian",
+                                     method="cholesky"))
+        np.testing.assert_allclose(got, b, atol=5e-2)
+
+    def test_dense_solve_indefinite(self, rng):
+        y, b, rhs = self._spd_problem(rng, kernel="inverse-distance")
+        got = np.asarray(dense_solve(jnp.array(y), jnp.array(rhs),
+                                     kernel_name="inverse-distance"))
+        np.testing.assert_allclose(got, b, atol=1e-2)
+
+    def test_cg_solve_spd(self, rng):
+        y, b, rhs = self._spd_problem(rng, m=48)
+        got, iters, residual = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="gaussian",
+            tol=1e-6, max_iters=2000)
+        assert iters > 0
+        assert residual < 1e-5
+        np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
+
+    def test_cg_solve_indefinite_normal_equations(self, rng):
+        y, b, rhs = self._spd_problem(rng, kernel="inverse-distance", m=40)
+        got, iters, residual = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="inverse-distance",
+            tol=1e-7, max_iters=4000)
+        np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
+
+    def test_cg_respects_max_iters(self, rng):
+        y, _, rhs = self._spd_problem(rng, m=48)
+        _, iters, _ = cg_solve(jnp.array(y), jnp.array(rhs),
+                               kernel_name="gaussian", tol=1e-12,
+                               max_iters=3)
+        assert iters == 3
+
+
+class TestEngineWrappers:
+    """Lifecycle wrappers, exercised through the XLA path on CPU."""
+
+    def test_tpu_product_lifecycle(self, rng):
+        from kmb_tpu.algorithms.tpu_engine import TpuProduct
+        y = rng.standard_normal((30, 3))
+        x = rng.standard_normal((20, 3))
+        b = rng.standard_normal((30, 2))
+        want = _truth("gaussian", x.astype(np.float32),
+                      y.astype(np.float32), b.astype(np.float32))
+        algo = TpuProduct(kernel="gaussian", dimension=3)
+        algo.prepare_data(source_points=y, target_points=x)
+        algo.fit()
+        algo.prepare_query(source_signal=b)
+        algo.query()
+        res = algo.get_result()
+        assert res.dtype == np.float64
+        np.testing.assert_allclose(res, want, rtol=1e-3, atol=1e-4)
+
+    def test_tpu_solver_direct_lifecycle(self, rng):
+        from kmb_tpu.algorithms.tpu_engine import TpuSolverDirect
+        y = rng.standard_normal((40, 3))
+        b = rng.standard_normal((40, 1))
+        k = kernel_matrix(kernel="gaussian", source_points=y)
+        a = k @ b
+        algo = TpuSolverDirect(kernel="gaussian", dimension=3)
+        algo.prepare_data(source_points=y)
+        algo.fit()
+        algo.prepare_query(target_signal=a)
+        algo.query()
+        np.testing.assert_allclose(algo.get_result(), b, atol=5e-2)
+
+    def test_tpu_solver_cg_lifecycle_and_additional(self, rng):
+        from kmb_tpu.algorithms.tpu_engine import TpuSolverCG
+        y = rng.standard_normal((40, 3))
+        b = rng.standard_normal((40, 1))
+        k = kernel_matrix(kernel="gaussian", source_points=y)
+        a = k @ b
+        algo = TpuSolverCG(kernel="gaussian", dimension=3)
+        algo.prepare_data(source_points=y)
+        algo.fit()
+        algo.set_query_arguments(tol=1e-7, max_iters=3000)
+        algo.prepare_query(target_signal=a)
+        algo.query()
+        extra = algo.get_additional()
+        assert extra["cg_iterations"] > 0
+        np.testing.assert_allclose(algo.get_result(), b, atol=5e-2)
