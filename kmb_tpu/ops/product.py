@@ -19,13 +19,24 @@ no VPU broadcast arithmetic.  Dot-product kernels (exponential) skip the
 augmentation.  FLOPs: ~2*N*M*(D + E) plus one transcendental per (i, j).
 
 Two accumulation schemes:
-- direct: acc += K @ b (optionally with a ones column appended to b so the
-  row sums come out of the same matmul — the reference's fused attention
-  trick, bruteforce.py:140-145).
+- direct: acc += K @ [b, 1] — a ones column rides in the existing lane
+  padding of b, so the kernel row sums (for normalization / density
+  estimation) come out of the same matmul for free (the reference's fused
+  attention trick, bruteforce.py:140-145).
 - flash (online softmax): for exponential-family kernels with
   normalize_rows, track a running row max and normalizer so arbitrarily
   large logits (attention with exp(<x,y>)) stay stable — the classic
   flash-attention recurrence, generalized to any log-kernel.
+
+Sharding hooks (used by kmb_tpu.parallel):
+- `row_offset` / `col_offset` are *dynamic* global index offsets (SMEM
+  scalars inside the Pallas kernel), so a shard holding rows [r0, r0+n)
+  and columns [c0, c0+m) of the global problem masks the true global
+  diagonal of singular kernels.
+- `deferred=True` returns the raw combination state instead of the
+  finalized output: (num, den) for the direct scheme, (acc, m, l) for
+  flash.  States from different source shards combine exactly via psum /
+  running-max merges (see kmb_tpu.parallel.sharded).
 
 A pure-XLA blocked fallback (`kernel_matvec_xla`) provides the same
 semantics for CPU execution (tests, virtual-device meshes) and doubles as
@@ -39,13 +50,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kmb_tpu.ops.kernels import KernelSpec, get_kernel
 
 LANE = 128
+FLASH_NEG_INF = -1e30  # python float: jnp constants would be captured consts in pallas
 
 
 def _ceil_to(value: int, multiple: int) -> int:
@@ -61,22 +72,17 @@ def _pad_axis(arr, target: int, axis: int):
     return jnp.pad(arr, widths)
 
 
-def _augment(points, on: str, dtype):
-    """Build the augmented matrix whose Gram matrix is the bilinear form.
-
-    For on == "sqdist", returns the (n, D+2) augmentation for the *target*
-    side; `flip=True` (source side) swaps the norm/ones columns so that
-    <x_aug, y_aug> = |x - y|^2.
-    """
+def _augment_target(points, on: str, dtype):
+    """Left factor of the bilinear form: [-2x, |x|^2, 1] for sqdist."""
     if on == "dot":
         return points.astype(dtype)
     sq = jnp.sum(points * points, axis=1, keepdims=True)
     ones = jnp.ones_like(sq)
-    return jnp.concatenate(
-        [(-2.0 * points), sq, ones], axis=1).astype(dtype)
+    return jnp.concatenate([(-2.0 * points), sq, ones], axis=1).astype(dtype)
 
 
 def _augment_source(points, on: str, dtype):
+    """Right factor: [y, 1, |y|^2] so <x_aug, y_aug> = |x - y|^2."""
     if on == "dot":
         return points.astype(dtype)
     sq = jnp.sum(points * points, axis=1, keepdims=True)
@@ -84,27 +90,33 @@ def _augment_source(points, on: str, dtype):
     return jnp.concatenate([points, ones, sq], axis=1).astype(dtype)
 
 
-def _tile_masks(i, j, block_n, block_m, n, m, mask_diagonal):
-    """(bN, bM) validity mask for a tile at grid position (i, j).
+def _tile_masks(i, j, row_off, col_off, col_limit, row_limit,
+                block_n, block_m, m, mask_diagonal):
+    """(bN, bM) validity mask for the tile at grid position (i, j).
 
-    Masks padded columns (>= m) and, for singular kernels, the global
-    diagonal (reference bruteforce.py:12-15 zeroes k[i, i]).
-    Rows >= n are left unmasked: their outputs are sliced away.
+    Masks padded columns (local col >= m, and global col >= col_limit for
+    shards of a globally padded problem), padded rows (global row >=
+    row_limit — needed so iterative solvers can run in padded space with
+    exactly-zero fake rows), and, for singular kernels, the *global*
+    diagonal (row_off + row == col_off + col), matching the reference's
+    post-hoc zeroing (bruteforce.py:12-15).
     """
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 1)
-    col_ids = j * block_m + cols
-    mask = col_ids < m
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0)
+    local_cols = j * block_m + cols
+    global_cols = col_off + local_cols
+    global_rows = row_off + i * block_n + rows
+    mask = jnp.logical_and(local_cols < m, global_cols < col_limit)
+    mask = jnp.logical_and(mask, global_rows < row_limit)
     if mask_diagonal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0)
-        row_ids = i * block_n + rows
-        mask = jnp.logical_and(mask, row_ids != col_ids)
+        mask = jnp.logical_and(mask, global_rows != global_cols)
     return mask
 
 
-def _direct_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, *,
-                        spec: KernelSpec, block_n, block_m, n, m,
+def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
+                        spec: KernelSpec, block_n, block_m, m,
                         mask_diagonal, compute_dtype, mxu_precision):
-    """Direct accumulation: acc += kernel(G) @ b."""
+    """Direct accumulation: acc += kernel(G) @ [b, 1]."""
     i, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
@@ -118,7 +130,8 @@ def _direct_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, *,
         precision=mxu_precision,
     )
     k_tile = spec.fn(gram)
-    mask = _tile_masks(i, j, block_n, block_m, n, m, mask_diagonal)
+    mask = _tile_masks(i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+                       offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
     k_tile = jnp.where(mask, k_tile, 0.0)
 
     acc_ref[:] += jax.lax.dot_general(
@@ -133,23 +146,26 @@ def _direct_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, *,
         out_ref[:] = acc_ref[:]
 
 
-def _flash_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, m_ref, l_ref,
-                       *, spec: KernelSpec, block_n, block_m, n, m,
+def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
+                       acc_out, m_out, l_out,
+                       acc_ref, m_ref, l_ref, *,
+                       spec: KernelSpec, block_n, block_m, m,
                        mask_diagonal, compute_dtype, mxu_precision):
     """Online-softmax accumulation for normalized exponential-family kernels.
 
     Maintains per-row running max `m`, normalizer `l` and the rescaled
     accumulator, so the normalized product
         out_i = sum_j exp(L_ij) b_j / sum_j exp(L_ij)
-    is computed stably in one pass over j, never materializing K.
+    is computed stably in one pass over j, never materializing K.  Emits
+    the raw (acc, m, l) state; finalization (acc / l) happens outside so
+    states from different source shards can still be merged exactly.
     """
     i, j = pl.program_id(0), pl.program_id(1)
-    neg_inf = jnp.float32(-1e30)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, neg_inf)
+        m_ref[:] = jnp.full_like(m_ref, FLASH_NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
     gram = jax.lax.dot_general(
@@ -159,8 +175,9 @@ def _flash_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, m_ref, l_ref,
         precision=mxu_precision,
     )
     logits = spec.log_fn(gram)
-    mask = _tile_masks(i, j, block_n, block_m, n, m, mask_diagonal)
-    logits = jnp.where(mask, logits, neg_inf)
+    mask = _tile_masks(i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+                       offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
+    logits = jnp.where(mask, logits, FLASH_NEG_INF)
 
     m_prev = m_ref[:]                                   # (bN, 1)
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
@@ -179,7 +196,9 @@ def _flash_kernel_body(x_ref, y_ref, b_ref, out_ref, acc_ref, m_ref, l_ref,
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = acc_ref[:] / l_ref[:]
+        acc_out[:] = acc_ref[:]
+        m_out[:] = m_ref[:]
+        l_out[:] = l_ref[:]
 
 
 def default_blocks(d: int, m: int, n: int):
@@ -193,11 +212,18 @@ def default_blocks(d: int, m: int, n: int):
     return min(block_n, _ceil_to(n, 8)), min(block_m, _ceil_to(m, LANE))
 
 
+def _mxu_precision(compute_dtype):
+    # On the TPU MXU, "float32" matmuls default to fast bf16 passes; the
+    # f32 Pareto entry needs HIGHEST (multi-pass) to deliver f32 accuracy.
+    return (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "normalize_rows", "mask_diagonal",
                      "density_estimation", "precision", "block_n", "block_m",
-                     "interpret", "out_channels"))
+                     "interpret", "deferred"))
 def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                          normalize_rows: bool = False,
                          mask_diagonal: Optional[bool] = None,
@@ -206,7 +232,9 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                          block_n: Optional[int] = None,
                          block_m: Optional[int] = None,
                          interpret: bool = False,
-                         out_channels: Optional[int] = None):
+                         deferred: bool = False,
+                         row_offset=0, col_offset=0, col_limit=2**31 - 1,
+                         row_limit=2**31 - 1):
     """Pallas streaming kernel product on TPU.
 
     Args:
@@ -214,9 +242,13 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         b: (M, E) source signal, or None with density_estimation.
         precision: "float32" or "bfloat16" — dtype of the MXU inputs;
             accumulation is always float32.
+        deferred: return raw combination state for cross-shard merging —
+            (num, den) for the direct scheme, (acc, m, l) for flash.
+        row_offset / col_offset: dynamic global offsets of this shard's
+            rows/columns (for global diagonal masking).
 
     Returns:
-        (N, E) float32 result (E = 1 for density estimation).
+        (N, E) float32 result, or the deferred state tuple.
     """
     spec = get_kernel(kernel_name)
     if mask_diagonal is None:
@@ -225,16 +257,13 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     m = y.shape[0]
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
-    if density_estimation and normalize_rows:
+    if density_estimation and normalize_rows and not deferred:
         return jnp.ones((n, 1), dtype=jnp.float32)
     if b is None:
         b = jnp.ones((m, 1), dtype=jnp.float32)
-    e = b.shape[1] if out_channels is None else out_channels
+    e = b.shape[1]
 
     use_flash = normalize_rows and spec.log_fn is not None
-    if normalize_rows and not use_flash:
-        # Non-exp-family normalized product: fused ones column, divide after.
-        b = jnp.concatenate([b, jnp.ones((m, 1), b.dtype)], axis=1)
 
     bn, bm = default_blocks(d, m, n)
     if block_n is not None:
@@ -243,85 +272,122 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         bm = block_m
 
     # Augment & pad.  Padded rows/cols of the Gram matrix are masked in-tile.
-    x_aug = _augment(x.astype(jnp.float32), spec.on, compute_dtype)
+    x_aug = _augment_target(x.astype(jnp.float32), spec.on, compute_dtype)
     y_aug = _augment_source(y.astype(jnp.float32), spec.on, compute_dtype)
     d_aug = x_aug.shape[1]
     d_pad = _ceil_to(d_aug, LANE)
     n_pad = _ceil_to(n, bn)
     m_pad = _ceil_to(m, bm)
-    e_in = b.shape[1]
-    e_pad = _ceil_to(e_in, LANE)
+    # A ones column rides in b's lane padding at index e, yielding the
+    # kernel row sums from the same matmul:
+    e_pad = _ceil_to(e + 1, LANE)
 
     x_aug = _pad_axis(_pad_axis(x_aug, d_pad, 1), n_pad, 0)
     y_aug = _pad_axis(_pad_axis(y_aug, d_pad, 1), m_pad, 0)
     b_pad = _pad_axis(_pad_axis(b.astype(compute_dtype), e_pad, 1), m_pad, 0)
+    b_pad = b_pad.at[:m, e].set(jnp.asarray(1.0, compute_dtype))
+
+    offs = jnp.stack(
+        [jnp.asarray(row_offset, jnp.int32),
+         jnp.asarray(col_offset, jnp.int32),
+         jnp.asarray(col_limit, jnp.int32),
+         jnp.asarray(row_limit, jnp.int32)]).reshape(1, 4)
 
     grid = (n_pad // bn, m_pad // bm)
 
-    # On the TPU MXU, "float32" matmuls default to fast bf16 passes; the
-    # f32 Pareto entry needs HIGHEST (multi-pass) to deliver f32 accuracy.
-    mxu_precision = (jax.lax.Precision.DEFAULT
-                     if compute_dtype == jnp.bfloat16
-                     else jax.lax.Precision.HIGHEST)
-    common = dict(block_n=bn, block_m=bm, n=n, m=m,
+    common = dict(block_n=bn, block_m=bm, m=m,
                   mask_diagonal=mask_diagonal, compute_dtype=compute_dtype,
-                  mxu_precision=mxu_precision)
-    scratch = [pltpu.VMEM((bn, e_pad), jnp.float32)]
-    if use_flash:
-        body = functools.partial(_flash_kernel_body, spec=spec, **common)
-        scratch += [pltpu.VMEM((bn, 1), jnp.float32),
-                    pltpu.VMEM((bn, 1), jnp.float32)]
-    else:
-        body = functools.partial(_direct_kernel_body, spec=spec, **common)
+                  mxu_precision=_mxu_precision(compute_dtype))
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, d_pad), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, e_pad), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * n_pad * m_pad * (d_pad + e_pad),
+        bytes_accessed=(x_aug.size + y_aug.size + b_pad.size) * 4,
+        transcendentals=n_pad * m_pad,
+    )
 
-    flops = 2 * n_pad * m_pad * (d_pad + e_pad)
+    if use_flash:
+        acc, mx, l = pl.pallas_call(
+            functools.partial(_flash_kernel_body, spec=spec, **common),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((bn, e_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad, e_pad), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((bn, e_pad), jnp.float32),
+                            pltpu.VMEM((bn, 1), jnp.float32),
+                            pltpu.VMEM((bn, 1), jnp.float32)],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(offs, x_aug, y_aug, b_pad)
+        acc = acc[:n, :e]
+        mx = mx[:n]
+        l = l[:n]
+        if deferred:
+            return acc, mx, l
+        return acc / l
+
     out = pl.pallas_call(
-        body,
+        functools.partial(_direct_kernel_body, spec=spec, **common),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, d_pad), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, e_pad), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bn, e_pad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, e_pad), jnp.float32),
-        scratch_shapes=scratch,
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(x_aug.size + y_aug.size + b_pad.size) * 4,
-            transcendentals=n_pad * m_pad,
-        ),
+        scratch_shapes=[pltpu.VMEM((bn, e_pad), jnp.float32)],
+        cost_estimate=cost,
         interpret=interpret,
-    )(x_aug, y_aug, b_pad)
+    )(offs, x_aug, y_aug, b_pad)
 
-    out = out[:n]
-    if normalize_rows and not use_flash:
-        return out[:, :e_in - 1][:, :e] / out[:, e_in - 1:e_in]
-    return out[:, :e]
+    num = out[:n, :e]
+    den = out[:n, e:e + 1]
+    if deferred:
+        return num, den
+    if density_estimation and not normalize_rows:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "normalize_rows", "mask_diagonal",
                      "density_estimation", "precision", "block_n",
-                     "row_offset"))
+                     "deferred"))
 def kernel_matvec_xla(x, y, b, *, kernel_name: str,
                       normalize_rows: bool = False,
                       mask_diagonal: Optional[bool] = None,
                       density_estimation: bool = False,
                       precision: str = "float32",
                       block_n: int = 1024,
-                      row_offset: int = 0):
+                      deferred: bool = False,
+                      row_offset=0, col_offset=0, col_limit=2**31 - 1,
+                      row_limit=2**31 - 1):
     """Blocked pure-XLA product with identical semantics (CPU fallback).
 
     Streams block_n target rows at a time with lax.map, so peak memory is
     O(block_n * M) — usable both as the CPU path and as an independent
-    check of the Pallas kernels.  `row_offset` shifts the global row index
-    for diagonal masking (used by sharded target splits).
+    check of the Pallas kernels.  Supports the same deferred-state and
+    global-offset contract as the Pallas engine.
     """
     spec = get_kernel(kernel_name)
     if mask_diagonal is None:
@@ -330,7 +396,7 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
     m = y.shape[0]
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
 
-    if density_estimation and normalize_rows:
+    if density_estimation and normalize_rows and not deferred:
         return jnp.ones((n, 1), dtype=jnp.float32)
     if b is None:
         b = jnp.ones((m, 1), dtype=jnp.float32)
@@ -338,9 +404,11 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
     x = x.astype(dtype)
     y = y.astype(dtype)
     b = b.astype(dtype)
-    mxu_precision = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
-                     else jax.lax.Precision.HIGHEST)
-    matmul = functools.partial(jnp.matmul, precision=mxu_precision)
+    matmul = functools.partial(jnp.matmul, precision=_mxu_precision(dtype))
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    col_offset = jnp.asarray(col_offset, jnp.int32)
+    col_limit = jnp.asarray(col_limit, jnp.int32)
+    row_limit = jnp.asarray(row_limit, jnp.int32)
 
     bn = min(block_n, n)
     n_pad = _ceil_to(n, bn)
@@ -360,39 +428,52 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
                 y.astype(jnp.float32) ** 2, axis=1, keepdims=True).T
             form = xsq + ysq - 2.0 * matmul(xb, y.T).astype(jnp.float32)
 
+        cols = (col_offset
+                + jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1))
+        local_rows = start + jax.lax.broadcasted_iota(
+            jnp.int32, (bn, m), 0)
+        invalid = jnp.logical_or(
+            cols >= col_limit, (row_offset + local_rows) >= row_limit)
         if mask_diagonal:
-            rows = row_offset + start + jax.lax.broadcasted_iota(
-                jnp.int32, (bn, m), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1)
-            diag = rows == cols
+            invalid = jnp.logical_or(
+                invalid, (row_offset + local_rows) == cols)
         if use_flash:
             logits = spec.log_fn(form)
-            if mask_diagonal:
-                logits = jnp.where(diag, -jnp.inf, logits)
+            logits = jnp.where(invalid, FLASH_NEG_INF, logits)
             mx = jnp.max(logits, axis=1, keepdims=True)
             p = jnp.exp(logits - mx)
-            return matmul(p.astype(dtype), b).astype(jnp.float32) / jnp.sum(
-                p, axis=1, keepdims=True)
+            p = jnp.where(invalid, 0.0, p)
+            acc = matmul(p.astype(dtype), b).astype(jnp.float32)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            return acc, mx, l
         k = spec.fn(form)
-        if mask_diagonal:
-            k = jnp.where(diag, 0.0, k)
+        k = jnp.where(invalid, 0.0, k)
         num = matmul(k.astype(dtype), b).astype(jnp.float32)
-        if normalize_rows:
-            return num / jnp.sum(k, axis=1, keepdims=True)
-        return num
+        den = jnp.sum(k, axis=1, keepdims=True).astype(jnp.float32)
+        return num, den
 
-    out = jax.lax.map(block, starts)
-    out = out.reshape(n_pad, -1)[:n]
-    return out
+    parts = jax.lax.map(block, starts)
+    if use_flash:
+        acc, mx, l = (p.reshape(n_pad, -1)[:n] for p in parts)
+        if deferred:
+            return acc, mx, l
+        return acc / l
+    num, den = (p.reshape(n_pad, -1)[:n] for p in parts)
+    if deferred:
+        return num, den
+    if density_estimation and not normalize_rows:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
 
 
 def kernel_matvec(x, y, b, **kwargs):
     """Backend dispatch: Pallas on TPU, blocked XLA elsewhere."""
-    if jax.default_backend() in ("tpu", "axon"):
+    if jax.default_backend() == "tpu":
         return kernel_matvec_pallas(x, y, b, **kwargs)
     kwargs.pop("interpret", None)
     kwargs.pop("block_m", None)
-    kwargs.pop("out_channels", None)
     bn = kwargs.pop("block_n", None)
     if bn is not None:
         kwargs["block_n"] = bn

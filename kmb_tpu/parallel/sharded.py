@@ -1,0 +1,326 @@
+"""Sharded kernel products and solves over a jax.sharding.Mesh.
+
+The reference has no distributed compute at all (SURVEY.md §2.5: its
+"parallelism" is BLAS threading plus a serial experiment queue); this module
+is the new first-class capability.  The design follows the standard TPU
+recipe: pick a mesh, shard with PartitionSpecs inside shard_map, and let
+XLA schedule the collectives over ICI.
+
+Schedules:
+
+- "allpairs" (2-D mesh (tgt, src)): targets are data-parallel on one axis,
+  sources on the other.  Every device computes the deferred combination
+  state for its (target-shard x source-shard) block with the local engine
+  (Pallas on TPU, blocked XLA on CPU meshes), then source-axis psum / the
+  exact flash-state merge produce the full rows.  One collective per call;
+  peak memory O(N/pt + M/ps) per device.
+
+- "ring" (1-D mesh): targets, sources and signal are all sharded on one
+  axis; (y, b) shards rotate around the ring with lax.ppermute while each
+  device folds the visiting chunk into its running combination state —
+  ring attention generalized to any kernel (and to the plain product /
+  CG matvec).  Peak memory O((N + M)/p) per device; communication is
+  neighbor-only and overlaps with compute.
+
+Both schedules reuse the engines' deferred state + global-offset contract
+(ops/product.py), so singular-kernel diagonal masking and row
+normalization stay exact under any sharding.
+
+The distributed CG solver builds its matvec from the ring schedule: kernel
+row partial sums ride the ring, and CG's dot products are computed on the
+sharded global arrays where XLA inserts the psums automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kmb_tpu.ops.kernels import get_kernel
+from kmb_tpu.ops.product import FLASH_NEG_INF, _ceil_to, kernel_matvec
+from kmb_tpu.ops.solve import SPD_KERNELS, _pcg
+
+
+def make_mesh(shape=None, axis_names=None, devices=None) -> Mesh:
+    """Create a device mesh.
+
+    Defaults to a 1-D mesh over all local devices with axis "shard".
+    Pass shape=(pt, ps), axis_names=("tgt", "src") for the 2-D all-pairs
+    layout.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    if axis_names is None:
+        axis_names = ("shard",) if len(shape) == 1 else ("tgt", "src")
+    return jax.make_mesh(tuple(shape), tuple(axis_names),
+                         devices=np.asarray(devices))
+
+
+def _slice_rows(arr, n, mesh=None):
+    """Slice away global padding rows of a sharded result.
+
+    A mid-shard slice isn't expressible as a sharded op, so gather the
+    (small, N x E) output to replicated layout first, then slice.
+    """
+    if arr.shape[0] == n:
+        return arr
+    if mesh is not None:
+        arr = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(mesh, P()))(arr)
+    return arr[:n]
+
+
+def _pad_rows(arr, target):
+    if arr.shape[0] == target:
+        return arr
+    return jnp.pad(arr, [(0, target - arr.shape[0])] + [(0, 0)] *
+                   (arr.ndim - 1))
+
+
+# -- deferred-state algebra ---------------------------------------------------
+
+def merge_flash_states(a, b):
+    """Exactly merge two flash (acc, m, l) states over disjoint sources."""
+    acc_a, m_a, l_a = a
+    acc_b, m_b, l_b = b
+    m_new = jnp.maximum(m_a, m_b)
+    sa = jnp.exp(m_a - m_new)
+    sb = jnp.exp(m_b - m_new)
+    return acc_a * sa + acc_b * sb, m_new, l_a * sa + l_b * sb
+
+
+def combine_flash_psum(state, axis_name):
+    """Merge flash states across a mesh axis via pmax + psum."""
+    acc, m, l = state
+    m_g = jax.lax.pmax(m, axis_name)
+    scale = jnp.exp(m - m_g)
+    return (jax.lax.psum(acc * scale, axis_name), m_g,
+            jax.lax.psum(l * scale, axis_name))
+
+
+def _finalize(state, use_flash, normalize_rows, density_estimation):
+    if use_flash:
+        acc, _, l = state
+        # Guard padded (fully-masked) rows where the normalizer is 0.
+        return acc / jnp.where(l > 0.0, l, 1.0)
+    num, den = state
+    if density_estimation and not normalize_rows:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
+
+
+# -- all-pairs schedule (2-D mesh, psum over the source axis) -----------------
+
+def allpairs_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
+                           normalize_rows: bool = False,
+                           density_estimation: bool = False,
+                           precision: str = "float32",
+                           block_n=None, block_m=None):
+    """Sharded product on a 2-D (tgt, src) mesh with one psum."""
+    spec = get_kernel(kernel_name)
+    tgt, src = mesh.axis_names
+    pt, ps = mesh.shape[tgt], mesh.shape[src]
+    n, m = x.shape[0], y.shape[0]
+    if density_estimation and normalize_rows:
+        return jnp.ones((n, 1), dtype=jnp.float32)
+    if b is None:
+        b = jnp.ones((m, 1), dtype=jnp.float32)
+    e = b.shape[1]
+
+    n_pad = _ceil_to(n, pt * 8)
+    m_pad = _ceil_to(m, ps * 8)
+    x = _pad_rows(jnp.asarray(x, jnp.float32), n_pad)
+    y = _pad_rows(jnp.asarray(y, jnp.float32), m_pad)
+    b = _pad_rows(jnp.asarray(b, jnp.float32), m_pad)
+    local_n, local_m = n_pad // pt, m_pad // ps
+    use_flash = normalize_rows and spec.log_fn is not None
+
+    def shard_fn(xs, ys, bs):
+        ti = jax.lax.axis_index(tgt)
+        si = jax.lax.axis_index(src)
+        state = kernel_matvec(
+            xs, ys, bs, kernel_name=kernel_name,
+            normalize_rows=normalize_rows,
+            density_estimation=density_estimation,
+            precision=precision, block_n=block_n, block_m=block_m,
+            deferred=True,
+            row_offset=ti * local_n, col_offset=si * local_m,
+            col_limit=m, row_limit=n)
+        if use_flash:
+            state = combine_flash_psum(state, src)
+        else:
+            state = tuple(jax.lax.psum(s, src) for s in state)
+        return _finalize(state, use_flash, normalize_rows,
+                         density_estimation)
+
+    out = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(tgt, None), P(src, None), P(src, None)),
+        out_specs=P(tgt, None),
+    ))(x, y, b)
+    return _slice_rows(out, n, mesh)
+
+
+# -- ring schedule (1-D mesh, ppermute) ---------------------------------------
+
+def _ring_shard_fn(xs, ys, bs, *, axis, kernel_name, normalize_rows,
+                   density_estimation, precision, block_n, block_m,
+                   local_n, local_m, m_global, n_global, e_width,
+                   use_flash):
+    p = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    row_off = me * local_n
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    if use_flash:
+        init = (jnp.zeros((local_n, e_width), jnp.float32),
+                jnp.full((local_n, 1), FLASH_NEG_INF, jnp.float32),
+                jnp.zeros((local_n, 1), jnp.float32))
+    else:
+        init = (jnp.zeros((local_n, e_width), jnp.float32),
+                jnp.zeros((local_n, 1), jnp.float32))
+    # Constants are axis-invariant; the loop carry becomes device-varying
+    # after the first step, so mark the initial state varying too.
+    init = jax.tree.map(
+        lambda a: jax.lax.pcast(a, (axis,), to="varying"), init)
+
+    def step(s, carry):
+        state, y_cur, b_cur = carry
+        owner = jax.lax.rem(me - s + p, p)   # whose chunk we hold now
+        part = kernel_matvec(
+            xs, y_cur, b_cur, kernel_name=kernel_name,
+            normalize_rows=normalize_rows,
+            density_estimation=density_estimation,
+            precision=precision, block_n=block_n, block_m=block_m,
+            deferred=True,
+            row_offset=row_off, col_offset=owner * local_m,
+            col_limit=m_global, row_limit=n_global)
+        if use_flash:
+            state = merge_flash_states(state, part)
+        else:
+            state = tuple(a + c for a, c in zip(state, part))
+        y_next = jax.lax.ppermute(y_cur, axis, perm)
+        b_next = jax.lax.ppermute(b_cur, axis, perm)
+        return state, y_next, b_next
+
+    state, _, _ = jax.lax.fori_loop(0, p, step, (init, ys, bs))
+    return _finalize(state, use_flash, normalize_rows, density_estimation)
+
+
+def ring_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
+                       normalize_rows: bool = False,
+                       density_estimation: bool = False,
+                       precision: str = "float32",
+                       block_n=None, block_m=None,
+                       axis: Optional[str] = None,
+                       keep_padded: bool = False,
+                       n_valid: Optional[int] = None,
+                       m_valid: Optional[int] = None):
+    """Ring-scheduled product on a 1-D mesh (ring attention, generalized).
+
+    x, y, b are all sharded on the same axis; (y, b) rotate around the ICI
+    ring while each device folds the visiting source chunk into its
+    combination state.  n and m may differ.
+
+    n_valid / m_valid override the row/column validity bounds when the
+    caller passes already-padded arrays (e.g. CG iterating in padded
+    space); keep_padded returns the padded sharded output unsliced.
+    """
+    spec = get_kernel(kernel_name)
+    axis = axis or mesh.axis_names[0]
+    p = mesh.shape[axis]
+    n = n_valid if n_valid is not None else x.shape[0]
+    m = m_valid if m_valid is not None else y.shape[0]
+    if density_estimation and normalize_rows:
+        return jnp.ones((n, 1), dtype=jnp.float32)
+    if b is None:
+        b = jnp.ones((m, 1), dtype=jnp.float32)
+    e = b.shape[1]
+
+    n_pad = _ceil_to(x.shape[0], p * 8)
+    m_pad = _ceil_to(y.shape[0], p * 8)
+    x = _pad_rows(jnp.asarray(x, jnp.float32), n_pad)
+    y = _pad_rows(jnp.asarray(y, jnp.float32), m_pad)
+    b = _pad_rows(jnp.asarray(b, jnp.float32), m_pad)
+    local_n, local_m = n_pad // p, m_pad // p
+    use_flash = normalize_rows and spec.log_fn is not None
+
+    shard_fn = functools.partial(
+        _ring_shard_fn, axis=axis, kernel_name=kernel_name,
+        normalize_rows=normalize_rows,
+        density_estimation=density_estimation, precision=precision,
+        block_n=block_n, block_m=block_m, local_n=local_n,
+        local_m=local_m, m_global=m, n_global=n, e_width=e,
+        use_flash=use_flash)
+
+    out = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    ))(x, y, b)
+    del e  # width already correct from _finalize
+    if keep_padded:
+        return out
+    return _slice_rows(out, n, mesh)
+
+
+def sharded_kernel_matvec(x, y, b, *, mesh: Mesh, schedule="auto", **kwargs):
+    """Dispatch on mesh shape: 2-D -> all-pairs psum, 1-D -> ring."""
+    if schedule == "auto":
+        schedule = "allpairs" if len(mesh.shape) == 2 else "ring"
+    if schedule == "allpairs":
+        return allpairs_kernel_matvec(x, y, b, mesh=mesh, **kwargs)
+    if schedule == "ring":
+        return ring_kernel_matvec(x, y, b, mesh=mesh, **kwargs)
+    raise ValueError(f"Unknown schedule {schedule!r}.")
+
+
+# -- distributed CG ------------------------------------------------------------
+
+def sharded_cg_solve(y, rhs, *, mesh: Mesh, kernel_name: str,
+                     precision: str = "float32", tol: float = 1e-6,
+                     max_iters: int = 1000, schedule: str = "ring"):
+    """Matrix-free CG whose matvec is the sharded kernel product.
+
+    The iteration state lives as sharded global arrays; dot products are
+    global reductions XLA lowers to psums over the mesh.  Iteration counts
+    are deterministic and identical to the single-chip solver because the
+    matvec is numerically identical (same tiles, same masks).
+    """
+    del schedule  # the ring schedule is the memory-scalable CG matvec
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    m = y.shape[0]
+    m_pad = _ceil_to(m, p * 8)
+    sharding = NamedSharding(mesh, P(axis, None))
+    # Padded rows/cols of K are masked to exactly zero (row_limit /
+    # col_limit), so CG in padded space iterates identically to the
+    # unpadded problem: padded residual rows start and stay zero.
+    y_pad = jax.device_put(
+        _pad_rows(jnp.asarray(y, jnp.float32), m_pad), sharding)
+    rhs_pad = jax.device_put(
+        _pad_rows(jnp.asarray(rhs, jnp.float32), m_pad), sharding)
+
+    def matvec(v):
+        return ring_kernel_matvec(
+            y_pad, y_pad, v, mesh=mesh, kernel_name=kernel_name,
+            precision=precision, keep_padded=True,
+            n_valid=m, m_valid=m)
+
+    if kernel_name in SPD_KERNELS:
+        b, iters, residual = _pcg(matvec, rhs_pad, tol, max_iters)
+    else:
+        def normal_matvec(v):
+            return matvec(matvec(v))
+        b, iters, residual = _pcg(normal_matvec, matvec(rhs_pad),
+                                  tol, max_iters)
+    return _slice_rows(b, m, mesh), iters, residual

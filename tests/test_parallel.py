@@ -1,0 +1,149 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
+from kmb_tpu.parallel.sharded import (
+    allpairs_kernel_matvec, make_mesh, ring_kernel_matvec,
+    sharded_cg_solve, sharded_kernel_matvec,
+)
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return {
+        "1d": make_mesh((8,)),
+        "2d": make_mesh((2, 4), ("tgt", "src")),
+        "4x2": make_mesh((4, 2), ("tgt", "src")),
+    }
+
+
+@pytest.fixture
+def problem(rng):
+    # Sizes deliberately NOT divisible by the mesh to exercise padding.
+    x = rng.standard_normal((101, 3)).astype(np.float32)
+    y = rng.standard_normal((83, 3)).astype(np.float32)
+    b = rng.standard_normal((83, 2)).astype(np.float32)
+    return x, y, b
+
+
+def _truth(kernel, x, y, b, normalize=False):
+    k = kernel_matrix(kernel=kernel, source_points=y.astype(np.float64),
+                      target_points=x.astype(np.float64))
+    out = k @ b
+    if normalize:
+        out = out / k.sum(axis=1, keepdims=True)
+    return out
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "exponential",
+                                    "inverse-distance"])
+def test_allpairs_matches_oracle(kernel, problem, meshes):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b)
+    got = np.asarray(allpairs_kernel_matvec(
+        jnp.array(x), jnp.array(y), jnp.array(b),
+        mesh=meshes["2d"], kernel_name=kernel, block_n=64))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "exponential"])
+def test_allpairs_normalized(kernel, problem, meshes):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b, normalize=True)
+    got = np.asarray(allpairs_kernel_matvec(
+        jnp.array(x), jnp.array(y), jnp.array(b),
+        mesh=meshes["4x2"], kernel_name=kernel, normalize_rows=True,
+        block_n=64))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "exponential",
+                                    "inverse-distance"])
+def test_ring_matches_oracle(kernel, problem, meshes):
+    x, y, b = problem
+    want = _truth(kernel, x, y, b)
+    got = np.asarray(ring_kernel_matvec(
+        jnp.array(x), jnp.array(y), jnp.array(b),
+        mesh=meshes["1d"], kernel_name=kernel, block_n=16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_normalized(problem, meshes):
+    x, y, b = problem
+    want = _truth("exponential", x, y, b, normalize=True)
+    got = np.asarray(ring_kernel_matvec(
+        jnp.array(x), jnp.array(y), jnp.array(b),
+        mesh=meshes["1d"], kernel_name="exponential", normalize_rows=True,
+        block_n=16))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_same_points_diagonal(rng, meshes):
+    # Global diagonal masking must survive sharding + rotation.
+    y = rng.standard_normal((96, 3)).astype(np.float32)
+    b = rng.standard_normal((96, 1)).astype(np.float32)
+    k = kernel_matrix(kernel="inverse-distance",
+                      source_points=y.astype(np.float64))
+    want = k @ b
+    got = np.asarray(ring_kernel_matvec(
+        jnp.array(y), jnp.array(y), jnp.array(b),
+        mesh=meshes["1d"], kernel_name="inverse-distance", block_n=16))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert np.all(np.isfinite(got))
+
+
+def test_density_estimation_sharded(problem, meshes):
+    x, y, _ = problem
+    k = kernel_matrix(kernel="gaussian", source_points=y.astype(np.float64),
+                      target_points=x.astype(np.float64))
+    want = k.sum(axis=1, keepdims=True)
+    for mesh, schedule in [(meshes["2d"], "allpairs"),
+                           (meshes["1d"], "ring")]:
+        got = np.asarray(sharded_kernel_matvec(
+            jnp.array(x), jnp.array(y), None, mesh=mesh, schedule=schedule,
+            kernel_name="gaussian", density_estimation=True, block_n=16))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_auto_schedule_dispatch(problem, meshes):
+    x, y, b = problem
+    want = _truth("gaussian", x, y, b)
+    for mesh in [meshes["1d"], meshes["2d"]]:
+        got = np.asarray(sharded_kernel_matvec(
+            jnp.array(x), jnp.array(y), jnp.array(b), mesh=mesh,
+            kernel_name="gaussian", block_n=16))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestShardedCG:
+    def test_spd_solve_matches_truth(self, rng, meshes):
+        y = rng.standard_normal((64, 3)).astype(np.float32)
+        b = rng.standard_normal((64, 2)).astype(np.float32)
+        k = kernel_matrix(kernel="gaussian", source_points=y.astype(np.float64))
+        rhs = (k @ b).astype(np.float32)
+        got, iters, residual = sharded_cg_solve(
+            y, rhs, mesh=meshes["1d"], kernel_name="gaussian",
+            tol=1e-6, max_iters=2000)
+        assert residual < 1e-5
+        np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
+
+    def test_iteration_parity_with_single_device(self, rng, meshes):
+        from kmb_tpu.ops.solve import cg_solve
+        y = rng.standard_normal((64, 3)).astype(np.float32)
+        b = rng.standard_normal((64, 1)).astype(np.float32)
+        k = kernel_matrix(kernel="gaussian", source_points=y.astype(np.float64))
+        rhs = (k @ b).astype(np.float32)
+        _, it_single, _ = cg_solve(jnp.array(y), jnp.array(rhs),
+                                   kernel_name="gaussian", tol=1e-5,
+                                   max_iters=2000)
+        _, it_shard, _ = sharded_cg_solve(
+            y, rhs, mesh=meshes["1d"], kernel_name="gaussian",
+            tol=1e-5, max_iters=2000)
+        # Same matvec semantics => nearly identical convergence.
+        assert abs(int(it_single) - int(it_shard)) <= max(
+            3, int(0.1 * int(it_single)))
