@@ -1,0 +1,144 @@
+"""Metric computation, Pareto-front extraction, plot styling.
+
+Rebuild of reference plotting/utils.py:8-289: apply metric functions to
+stored runs (caching statistics inside the result HDF5), sweep out the
+Pareto front of (x, y) trade-offs honoring each metric's optimization
+direction, and generate deterministic colors/linestyles per algorithm.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from kmb_tpu.plotting.metrics import all_metrics
+
+
+def get_or_create_metrics(result_file):
+    """The `metrics` cache group inside a result HDF5 file."""
+    if "metrics" not in result_file:
+        result_file.create_group("metrics")
+    return result_file["metrics"]
+
+
+def create_pointset(data, xn, yn):
+    """Extract the Pareto front from (algo, name, x, y) tuples.
+
+    `data` is a list of runs for ONE algorithm.  Sort by (y, x) in the
+    "best first" direction given by the sign of each metric's `worst`
+    (reference utils.py:38-42), then sweep keeping only points that improve
+    x — the survivors are the front.  Returns (front, all) where each is
+    (xs, ys, labels).
+    """
+    xm, ym = all_metrics[xn], all_metrics[yn]
+    rev_y = -1 if ym["worst"] < 0 else 1
+    rev_x = -1 if xm["worst"] < 0 else 1
+    data = sorted(data, key=lambda t: (rev_y * t[-1], rev_x * t[-2]))
+
+    axs, ays, als = [], [], []
+    xs, ys, ls = [], [], []
+    last_x = xm["worst"]
+    comparator = (
+        (lambda xv, lx: xv > lx) if last_x < 0 else (lambda xv, lx: xv < lx))
+    for algo, algo_name, xv, yv in data:
+        if not xv or not yv:
+            continue
+        axs.append(xv)
+        ays.append(yv)
+        als.append(algo_name)
+        if comparator(xv, last_x):
+            last_x = xv
+            xs.append(xv)
+            ys.append(yv)
+            ls.append(algo_name)
+    return xs, ys, ls, axs, ays, als
+
+
+def compute_metrics(dataset, results, x_name, y_name, recompute=False):
+    """Per-algorithm lists of (algo, run_name, x_value, y_value)."""
+    all_results = {}
+    for i, (properties, result_file) in enumerate(results):
+        algo = properties["algo"]
+        algo_name = properties["name"]
+        if recompute and "metrics" in result_file:
+            del result_file["metrics"]
+        cache = get_or_create_metrics(result_file)
+        x = all_metrics[x_name]["function"](
+            dataset, result_file, properties, cache)
+        y = all_metrics[y_name]["function"](
+            dataset, result_file, properties, cache)
+        all_results.setdefault(algo, []).append((algo, algo_name, x, y))
+    return all_results
+
+
+def compute_all_metrics(dataset, result_file, properties, recompute=False):
+    """(algo, name, {metric: value}) for one stored run — website path."""
+    algo = properties["algo"]
+    algo_name = properties["name"]
+    if recompute and "metrics" in result_file:
+        del result_file["metrics"]
+    cache = get_or_create_metrics(result_file)
+    results = {}
+    for name, metric in all_metrics.items():
+        try:
+            results[name] = metric["function"](
+                dataset, result_file, properties, cache)
+        except KeyError:
+            continue  # run lacks an attribute this metric needs
+    return algo, algo_name, results
+
+
+def generate_n_colors(n):
+    """n well-separated RGB colors via greedy farthest-point sampling."""
+    vs = np.linspace(0.3, 0.9, 7)
+    colors = [(0.9, 0.4, 0.4, 1.0)]
+
+    def euclidean(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    while len(colors) < n:
+        new_color = max(
+            itertools.product(vs, vs, vs),
+            key=lambda a: min(euclidean(a, b) for b in colors),
+        )
+        colors.append(new_color + (1.0,))
+    return colors
+
+
+def create_linestyles(unique_algorithms):
+    """{algo: (color, faded_color, linestyle, marker)} deterministic map."""
+    colors = dict(zip(unique_algorithms,
+                      generate_n_colors(len(unique_algorithms))))
+    linestyles = dict(
+        (algo, ["--", "-.", "-", ":"][i % 4])
+        for i, algo in enumerate(unique_algorithms))
+    markerstyles = dict(
+        (algo, ["+", "<", "o", "*", "x"][i % 5])
+        for i, algo in enumerate(unique_algorithms))
+    faded = dict(
+        (algo, (r, g, b, 0.3)) for algo, (r, g, b, _) in colors.items())
+    return dict(
+        (algo,
+         (colors[algo], faded[algo], linestyles[algo], markerstyles[algo]))
+        for algo in unique_algorithms)
+
+
+def get_up_down(metric):
+    return "down" if metric["worst"] == float("inf") else "up"
+
+
+def get_left_right(metric):
+    return "left" if metric["worst"] == float("inf") else "right"
+
+
+def get_plot_label(xm, ym):
+    template = (
+        "%(xlabel)s-%(ylabel)s tradeoff — %(updown)s and"
+        " to the %(leftright)s is better")
+    return template % {
+        "xlabel": xm["description"],
+        "ylabel": ym["description"],
+        "updown": get_up_down(ym),
+        "leftright": get_left_right(xm),
+    }
