@@ -170,7 +170,8 @@ class TestMain:
         args = make_parser().parse_args(
             ["--dataset", dataset, "--definitions", ALGOS_YAML, "--local"])
         plan = plan_experiments(args)
-        assert len(plan) == 6  # the bruteforce-product-blas precision sweep
+        # bruteforce-product-blas precision sweep (6) + native-product (1)
+        assert len(plan) == 7
         # Write a fake result for one experiment and re-plan:
         done = plan[0]
         fn = get_result_filename(dataset, done,
