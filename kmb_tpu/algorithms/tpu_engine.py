@@ -30,7 +30,10 @@ import jax.numpy as jnp
 from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.ops.kernels import KERNELS
 from kmb_tpu.ops.product import kernel_matvec
-from kmb_tpu.ops.solve import cg_solve, dense_apply, dense_factor
+from kmb_tpu.ops.solve import (
+    SPD_KERNELS, apply_nystrom_precond, cg_solve, dense_apply, dense_factor,
+    nystrom_preconditioner,
+)
 
 
 def _device_bytes_in_use():
@@ -144,42 +147,62 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
                  precision="float32", tol=1e-6, max_iters=1000,
-                 block_n=None, block_m=None):
+                 precond_rank=0, block_n=None, block_m=None):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         self._check_kernel(kernel)
         self.tol = tol
         self.max_iters = max_iters
+        self.precond_rank = int(precond_rank)
         self.block_n = block_n
         self.block_m = block_m
         self.iterations = 0
         self.residual = float("nan")
-        self.name = f"TpuSolverCG({precision}, tol={tol})"
+        self._precond_factors = None
+        self.name = (f"TpuSolverCG({precision}, tol={tol}, "
+                     f"rank={precond_rank})")
 
     def prepare_data(self, *, source_points):
         self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
 
+    def _matvec(self, v):
+        return kernel_matvec(
+            self.y, self.y, v, kernel_name=self.kernel,
+            precision=self.precision, block_n=self.block_n,
+            block_m=self.block_m)
+
+    def _iterated_op(self, v):
+        """The SPD operator CG actually iterates on (K, or K^2 when K is
+        indefinite — see ops/solve.cg_solve)."""
+        if self.kernel in SPD_KERNELS:
+            return self._matvec(v)
+        return self._matvec(self._matvec(v))
+
     def fit(self):
-        # No precomputation (a Nystrom/Jacobi preconditioner would go here).
-        pass
+        # TIMED: build the randomized Nystrom preconditioner (rank
+        # streaming matvecs fused into one engine call).  rank=0 skips it.
+        if self.precond_rank > 0:
+            rank = min(self.precond_rank, self.y.shape[0])
+            self._precond_factors = jax.block_until_ready(
+                nystrom_preconditioner(
+                    self._iterated_op, self.y.shape[0], rank))
 
     def set_query_arguments(self, tol=None, max_iters=None):
         if tol is not None:
             self.tol = tol
         if max_iters is not None:
             self.max_iters = max_iters
-        self.name = f"TpuSolverCG({self.precision}, tol={self.tol})"
+        self.name = (f"TpuSolverCG({self.precision}, tol={self.tol}, "
+                     f"rank={self.precond_rank})")
 
     def prepare_query(self, *, target_signal):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
 
     def query(self):
-        y = self.y
-
-        def matvec(v):
-            return kernel_matvec(
-                y, y, v, kernel_name=self.kernel, precision=self.precision,
-                block_n=self.block_n, block_m=self.block_m)
+        precond = None
+        if self._precond_factors is not None:
+            u, lam = self._precond_factors
+            precond = lambda v: apply_nystrom_precond(u, lam, v)  # noqa: E731
 
         b, iters, residual = cg_solve(
             self.y, self.rhs,
@@ -187,7 +210,8 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
             precision=self.precision,
             tol=float(self.tol),
             max_iters=int(self.max_iters),
-            matvec=matvec,
+            matvec=self._matvec,
+            precond=precond,
         )
         self.res = jax.block_until_ready(b)
         self.iterations = int(iters)

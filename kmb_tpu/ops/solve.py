@@ -104,50 +104,112 @@ def _default_matvec(y, *, kernel_name, precision):
     return matvec
 
 
-def _pcg(matvec: Callable, rhs, tol: float, max_iters: int):
-    """Multi-RHS preconditioned conjugate gradient (identity precond).
+def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
+         precond: Optional[Callable] = None):
+    """Multi-RHS preconditioned conjugate gradient.
 
     Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
-    every column satisfies ||r|| <= tol * ||rhs||, or at max_iters.
+    every column satisfies ||r|| <= tol * ||rhs|| (true residual, not the
+    preconditioned one), or at max_iters.  `precond` applies M^-1.
     """
     rhs = rhs.astype(jnp.float32)
+    if precond is None:
+        precond = lambda v: v  # noqa: E731
     target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
 
     def cond(state):
-        _, r, _, rs, it = state
+        _, r, _, _, rs, it = state
         return jnp.logical_and(it < max_iters,
                                jnp.any(rs > target_sq))
 
     def body(state):
-        b, r, p, rs_old, it = state
+        b, r, p, rz_old, _, it = state
         kp = matvec(p)
         denom = jnp.sum(p * kp, axis=0)
-        alpha = jnp.where(denom != 0.0, rs_old / denom, 0.0)
+        alpha = jnp.where(denom != 0.0, rz_old / denom, 0.0)
         b = b + alpha * p
         r = r - alpha * kp
-        rs_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(rs_old != 0.0, rs_new / rs_old, 0.0)
-        p = r + beta * p
-        return b, r, p, rs_new, it + 1
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
+        p = z + beta * p
+        return b, r, p, rz_new, jnp.sum(r * r, axis=0), it + 1
 
     b0 = jnp.zeros_like(rhs)
     r0 = rhs
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0, axis=0)
     rs0 = jnp.sum(r0 * r0, axis=0)
-    b, r, _, rs, iters = jax.lax.while_loop(
-        cond, body, (b0, r0, r0, rs0, jnp.int32(0)))
+    b, r, _, _, rs, iters = jax.lax.while_loop(
+        cond, body, (b0, r0, z0, rz0, rs0, jnp.int32(0)))
     residual = jnp.sqrt(jnp.max(rs / jnp.maximum(
         jnp.sum(rhs * rhs, axis=0), 1e-30)))
     return b, iters, residual
 
 
+def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
+                           key=None):
+    """Randomized Nyström preconditioner factors (U, lam) for an SPD op.
+
+    Sketch K with an orthonormalized Gaussian test matrix and form the
+    rank-`rank` Nyström approximation K ≈ U diag(lam) U^T (the
+    shift-stabilized algorithm of Frangella, Tropp & Udell, "Randomized
+    Nyström Preconditioning", 2021 — public method, reimplemented here).
+    The sketch costs `rank` kernel matvecs, fused into ONE streaming
+    engine call with E=rank, i.e. a perfect MXU workload.
+
+    Returns (U, lam): U (m, rank) orthonormal, lam (rank,) >= 0
+    descending.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    omega = jax.random.normal(key, (m, rank), jnp.float32)
+    omega, _ = jnp.linalg.qr(omega)
+    sketch = matvec(omega)                                  # K @ Omega
+    # Shift by a small multiple of the trace scale for a stable Cholesky.
+    nu = jnp.sqrt(jnp.asarray(m, jnp.float32)) * jnp.finfo(jnp.float32).eps \
+        * jnp.linalg.norm(sketch)
+    sketch_nu = sketch + nu * omega
+    gram = omega.T @ sketch_nu
+    gram = 0.5 * (gram + gram.T)
+    chol = jax.scipy.linalg.cholesky(gram, lower=True)
+    half = jax.scipy.linalg.solve_triangular(
+        chol, sketch_nu.T, lower=True).T                    # (m, rank)
+    u, s, _ = jnp.linalg.svd(half, full_matrices=False)
+    lam = jnp.maximum(s * s - nu, 0.0)
+    return u, lam
+
+
+def apply_nystrom_precond(u, lam, v, *, rel_floor: float = 1e-4):
+    """P^-1 v for P = U diag(max(lam, floor)) U^T + floor (I - U U^T).
+
+    With mu = 0 (unregularized solve), the preconditioned operator's top
+    spectrum is flattened to the floor level, collapsing CG's iteration
+    count when the kernel spectrum decays fast.  The floor is
+    max(lam_r, rel_floor * lam_0): for spectra that decay below float32
+    resolution (Gaussian kernels), trailing near-zero Nyström eigenvalues
+    would otherwise make the scale ratios astronomically large and PCG
+    diverge — below the floor the preconditioner smoothly degrades to the
+    identity.
+    """
+    lam_r = jnp.maximum(
+        jnp.maximum(lam[-1], rel_floor * lam[0]),
+        jnp.finfo(jnp.float32).tiny)
+    lam_safe = jnp.maximum(lam, lam_r)
+    utv = u.T @ v
+    return u @ ((lam_r / lam_safe)[:, None] * utv) + (v - u @ utv)
+
+
 def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
              tol: float = 1e-6, max_iters: int = 1000,
-             matvec: Optional[Callable] = None):
-    """Matrix-free CG solve of K b = rhs.
+             matvec: Optional[Callable] = None,
+             precond: Optional[Callable] = None):
+    """Matrix-free (preconditioned) CG solve of K b = rhs.
 
     For SPD kernels, plain CG on K.  For indefinite kernels
     (inverse-distance), CG on the normal equations K^2 b = K rhs
-    (K symmetric), which is SPD whenever K is nonsingular.
+    (K symmetric), which is SPD whenever K is nonsingular.  `precond`
+    applies M^-1 of the operator actually iterated on (K or K^2).
 
     Returns:
         (b, iterations, relative_residual)
@@ -156,10 +218,10 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         matvec = _default_matvec(y, kernel_name=kernel_name,
                                  precision=precision)
     if kernel_name in SPD_KERNELS:
-        return _pcg(matvec, rhs, tol, max_iters)
+        return _pcg(matvec, rhs, tol, max_iters, precond=precond)
 
     def normal_matvec(v):
         return matvec(matvec(v))
 
     k_rhs = matvec(rhs.astype(jnp.float32))
-    return _pcg(normal_matvec, k_rhs, tol, max_iters)
+    return _pcg(normal_matvec, k_rhs, tol, max_iters, precond=precond)

@@ -189,6 +189,60 @@ class TestSolvers:
                                max_iters=3)
         assert iters == 3
 
+    @pytest.mark.parametrize(
+        "kernel", ["inverse-distance", "absolute-exponential"])
+    def test_nystrom_pcg_cuts_iterations(self, rng, kernel):
+        """Nyström PCG converges in fewer iterations than plain CG on the
+        benchmark sphere geometry, to the same solution."""
+        from kmb_tpu.datasets import fibonacci_sphere
+        from kmb_tpu.ops.product import kernel_matvec
+        from kmb_tpu.ops.solve import (
+            apply_nystrom_precond, nystrom_preconditioner)
+
+        m = 500
+        y = jnp.asarray(fibonacci_sphere(m), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((m, 1)), jnp.float32)
+        rhs = kernel_matvec(y, y, b, kernel_name=kernel)
+
+        plain, it_plain, res_plain = cg_solve(
+            y, rhs, kernel_name=kernel, tol=1e-6, max_iters=3000)
+
+        def op(v):
+            out = kernel_matvec(y, y, v, kernel_name=kernel)
+            if kernel == "inverse-distance":
+                out = kernel_matvec(y, y, out, kernel_name=kernel)
+            return out
+
+        u, lam = nystrom_preconditioner(op, m, 128)
+        assert u.shape == (m, 128)
+        assert float(lam[0]) >= float(lam[-1]) >= 0.0
+        pre, it_pre, res_pre = cg_solve(
+            y, rhs, kernel_name=kernel, tol=1e-6, max_iters=3000,
+            precond=lambda v: apply_nystrom_precond(u, lam, v))
+
+        assert int(it_pre) < int(it_plain)
+        assert float(res_pre) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(pre), np.asarray(plain), atol=5e-3)
+
+    def test_nystrom_precond_is_spd(self, rng):
+        """M^-1 must be symmetric positive definite for PCG validity."""
+        from kmb_tpu.ops.solve import (
+            apply_nystrom_precond, nystrom_preconditioner)
+
+        y, _, _ = self._spd_problem(rng, m=64)
+        k = kernel_matrix(kernel="gaussian",
+                          source_points=y.astype(np.float64))
+
+        def op(v):
+            return jnp.asarray(k, jnp.float32) @ v
+
+        u, lam = nystrom_preconditioner(op, 64, 16)
+        minv = np.asarray(apply_nystrom_precond(u, lam, jnp.eye(64)))
+        np.testing.assert_allclose(minv, minv.T, atol=1e-5)
+        eigs = np.linalg.eigvalsh(0.5 * (minv + minv.T))
+        assert eigs.min() > 0
+
 
 class TestEngineWrappers:
     """Lifecycle wrappers, exercised through the XLA path on CPU."""
