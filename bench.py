@@ -66,15 +66,17 @@ def tpu_pairs_per_second(n, runs, precision):
 
     from kmb_tpu.ops.product import kernel_matvec
 
+    from kmb_tpu.utils import hard_fence
+
     rng = np.random.default_rng(0)
     x = jax.device_put(
         jnp.asarray(rng.standard_normal((n, 3)), jnp.float32))
     b = jax.device_put(
         jnp.asarray(rng.standard_normal((n, 1)), jnp.float32))
-    jax.block_until_ready((x, b))
+    hard_fence((x, b))
 
     def step():
-        jax.block_until_ready(kernel_matvec(
+        hard_fence(kernel_matvec(
             x, x, b, kernel_name="gaussian", precision=precision))
 
     step()  # compile (excluded, matching best-of-N protocol)

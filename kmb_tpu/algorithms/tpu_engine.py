@@ -13,9 +13,11 @@ Htool, htool.py:15-165 — except here the native layer is Pallas/XLA):
   O(M) memory, the only option at M ~ 10^6.  Exposes `tol` / `max_iters`
   as query arguments and reports iteration counts via `get_additional`.
 
-Timing contract: every `query()` ends with `block_until_ready()` so the
-harness's wall-clock timer measures real device work despite JAX's async
-dispatch (SURVEY.md §5 "timing semantics under async dispatch").  Device
+Timing contract: every `query()` ends with `hard_fence()` (a readback
+that data-depends on the outputs) so the harness's wall-clock timer
+measures real device work despite JAX's async dispatch — plain
+`block_until_ready` is not a reliable fence on tunneled TPU backends
+(SURVEY.md §5 "timing semantics under async dispatch").  Device
 transfers and dtype casts happen in the untimed `prepare_*` hooks
 (reference base.py:64-67 notes GPU transfer belongs exactly there).
 """
@@ -27,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from kmb_tpu.utils import hard_fence
 from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.ops.kernels import KERNELS
 from kmb_tpu.ops.product import kernel_matvec
@@ -102,7 +105,7 @@ class TpuProduct(_TpuAlgorithm, BaseProduct):
             block_n=self.block_n,
             block_m=self.block_m,
         )
-        self.res = jax.block_until_ready(out)
+        self.res = hard_fence(out)
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
@@ -124,7 +127,7 @@ class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
 
     def fit(self):
         # TIMED: materialize K on-device and factorize it on the MXU.
-        self.factor = jax.block_until_ready(dense_factor(
+        self.factor = hard_fence(dense_factor(
             self.y, kernel_name=self.kernel, precision=self.precision,
             method=self.method))
 
@@ -132,7 +135,7 @@ class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
 
     def query(self):
-        self.res = jax.block_until_ready(dense_apply(
+        self.res = hard_fence(dense_apply(
             self.factor, self.rhs, method=self.method))
 
     def get_result(self):
@@ -183,7 +186,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         # streaming matvecs fused into one engine call).  rank=0 skips it.
         if self.precond_rank > 0:
             rank = min(self.precond_rank, self.y.shape[0])
-            self._precond_factors = jax.block_until_ready(
+            self._precond_factors = hard_fence(
                 nystrom_preconditioner(
                     self._iterated_op, self.y.shape[0], rank))
 
@@ -213,7 +216,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
             matvec=self._matvec,
             precond=precond,
         )
-        self.res = jax.block_until_ready(b)
+        self.res = hard_fence(b)
         self.iterations = int(iters)
         self.residual = float(residual)
 

@@ -20,6 +20,7 @@ import numpy as np
 
 import jax
 
+from kmb_tpu.utils import hard_fence
 from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
 from kmb_tpu.ops.kernels import KERNELS
@@ -90,7 +91,7 @@ class ShardedProduct(_TpuAlgorithm, BaseProduct):
             density_estimation=self.density_estimation,
             precision=self.precision, block_n=self.block_n,
             block_m=self.block_m)
-        self.res = jax.block_until_ready(out)
+        self.res = hard_fence(out)
 
     def get_additional(self):
         return {"n_chips": int(np.prod(list(self.mesh.shape.values()))),
@@ -139,7 +140,7 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
             self.y, self.rhs, mesh=self.mesh, kernel_name=self.kernel,
             precision=self.precision, tol=float(self.tol),
             max_iters=int(self.max_iters))
-        self.res = jax.block_until_ready(b)
+        self.res = hard_fence(b)
         self.iterations = int(iters)
         self.residual = float(residual)
 
