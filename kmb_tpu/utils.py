@@ -23,5 +23,7 @@ def hard_fence(tree):
     jax.block_until_ready(leaves)
     for leaf in leaves:
         if leaf.size:
-            np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+            # A global reduction depends on every element (and stays legal
+            # for sharded arrays, where slicing would need an out_sharding).
+            np.asarray(jax.device_get(jnp.max(jnp.abs(leaf))))
     return tree
