@@ -57,7 +57,8 @@ class TestDefinitions:
             definition_file=ALGOS_YAML,
             dataset="product-cube-D3-E1-M1000-N1000-gaussian",
             task="product", hardware="TPU", kernel="gaussian")
-        assert {d.algorithm for d in defs} == {"tpu-product"}
+        assert {d.algorithm for d in defs} == {
+            "tpu-product", "tpu-sharded-product"}
 
     def test_attention_task_filter(self):
         defs = get_definitions(
