@@ -90,6 +90,37 @@ def _augment_source(points, on: str, dtype):
     return jnp.concatenate([points, ones, sq], axis=1).astype(dtype)
 
 
+def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision):
+    """(bN, bM) bilinear form tile: squared distances or dot products.
+
+    form_mode "mxu": x_ref/y_ref hold augmented factors (bn, d_pad) /
+    (bm, d_pad); one MXU matmul yields the whole form (see module
+    docstring).  form_mode "vpu": for small D the 128-lane padding makes
+    the MXU matmul ~d_pad/d times wasteful, so instead x_ref holds raw
+    points (bn, d8) and y_ref the TRANSPOSED points (d8, bm), and the form
+    is an unrolled VPU broadcast loop over the true D — exact f32, zero
+    MXU cost, freeing the MXU for the K @ b accumulation.
+    """
+    if form_mode == "mxu":
+        return jax.lax.dot_general(
+            x_ref[:], y_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+    form = None
+    for k in range(d):
+        xk = x_ref[:, k:k + 1]         # (bn, 1)
+        yk = y_ref[k:k + 1, :]         # (1, bm)
+        if on == "dot":
+            term = xk * yk
+        else:
+            diff = xk - yk
+            term = diff * diff
+        form = term if form is None else form + term
+    return form
+
+
 def _tile_masks(i, j, row_off, col_off, col_limit, row_limit,
                 block_n, block_m, m, mask_diagonal):
     """(bN, bM) validity mask for the tile at grid position (i, j).
@@ -113,9 +144,34 @@ def _tile_masks(i, j, row_off, col_off, col_limit, row_limit,
     return mask
 
 
+def _accumulate(k_tile, b_ref, *, acc_mode, n_cols, compute_dtype,
+                acc_precision):
+    """weights @ b for one tile, as a full (bn, e_pad) update.
+
+    acc_mode "mxu": b_ref is (bm, e_pad); one matmul.  For f32 this costs
+    6 bf16 passes over 128 output lanes even when E=1 — the dominant MXU
+    cost at small D/E.  acc_mode "vpu": b_ref holds b TRANSPOSED
+    (e8, bm); each of the n_cols true columns is a broadcast multiply +
+    lane reduction on the VPU — exact f32, zero MXU, ~n_cols VPU passes.
+    """
+    if acc_mode == "mxu":
+        return jax.lax.dot_general(
+            k_tile.astype(compute_dtype), b_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=acc_precision,
+        )
+    cols = [jnp.sum(k_tile * b_ref[c:c + 1, :], axis=1, keepdims=True)
+            for c in range(n_cols)]
+    pad = jnp.zeros((k_tile.shape[0], LANE - n_cols), jnp.float32)
+    return jnp.concatenate(cols + [pad], axis=1)
+
+
 def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
                         spec: KernelSpec, block_n, block_m, m,
-                        mask_diagonal, compute_dtype, mxu_precision):
+                        mask_diagonal, compute_dtype, mxu_precision,
+                        acc_precision, form_mode, d, needs_mask,
+                        acc_mode, n_cols):
     """Direct accumulation: acc += kernel(G) @ [b, 1]."""
     i, j = pl.program_id(0), pl.program_id(1)
 
@@ -123,23 +179,18 @@ def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    gram = jax.lax.dot_general(
-        x_ref[:], y_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )
+    gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
+                      mxu_precision=mxu_precision)
     k_tile = spec.fn(gram)
-    mask = _tile_masks(i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
-                       offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
-    k_tile = jnp.where(mask, k_tile, 0.0)
+    if needs_mask:
+        mask = _tile_masks(
+            i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+            offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
+        k_tile = jnp.where(mask, k_tile, 0.0)
 
-    acc_ref[:] += jax.lax.dot_general(
-        k_tile.astype(compute_dtype), b_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )
+    acc_ref[:] += _accumulate(
+        k_tile, b_ref, acc_mode=acc_mode, n_cols=n_cols,
+        compute_dtype=compute_dtype, acc_precision=acc_precision)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -150,7 +201,9 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
                        acc_out, m_out, l_out,
                        acc_ref, m_ref, l_ref, *,
                        spec: KernelSpec, block_n, block_m, m,
-                       mask_diagonal, compute_dtype, mxu_precision):
+                       mask_diagonal, compute_dtype, mxu_precision,
+                       acc_precision, form_mode, d, needs_mask,
+                       acc_mode, n_cols):
     """Online-softmax accumulation for normalized exponential-family kernels.
 
     Maintains per-row running max `m`, normalizer `l` and the rescaled
@@ -168,31 +221,27 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
         m_ref[:] = jnp.full_like(m_ref, FLASH_NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    gram = jax.lax.dot_general(
-        x_ref[:], y_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )
+    gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
+                      mxu_precision=mxu_precision)
     logits = spec.log_fn(gram)
-    mask = _tile_masks(i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
-                       offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
-    logits = jnp.where(mask, logits, FLASH_NEG_INF)
+    if needs_mask:
+        mask = _tile_masks(
+            i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+            offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
+        logits = jnp.where(mask, logits, FLASH_NEG_INF)
 
     m_prev = m_ref[:]                                   # (bN, 1)
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)                     # (bN, 1)
     p = jnp.exp(logits - m_new)                         # (bN, bM)
-    p = jnp.where(mask, p, 0.0)
+    if needs_mask:
+        p = jnp.where(mask, p, 0.0)
 
     m_ref[:] = m_new
     l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
-        p.astype(compute_dtype), b_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=mxu_precision,
-    )
+    acc_ref[:] = alpha * acc_ref[:] + _accumulate(
+        p, b_ref, acc_mode=acc_mode, n_cols=n_cols,
+        compute_dtype=compute_dtype, acc_precision=acc_precision)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -214,27 +263,73 @@ def default_blocks(d: int, m: int, n: int):
 
 def _mxu_precision(compute_dtype):
     # On the TPU MXU, "float32" matmuls default to fast bf16 passes; the
-    # f32 Pareto entry needs HIGHEST (multi-pass) to deliver f32 accuracy.
+    # f32 Pareto entry needs HIGHEST (multi-pass) for the bilinear form,
+    # where squared-distance cancellation is accuracy-critical.
     return (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
+
+
+def _acc_precision(compute_dtype):
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions, and with the
+    # VPU form path the kernel is VPU-bound anyway, so the K @ b matmul
+    # keeps full f32 (HIGHEST) accuracy at no wall-clock cost.
+    return _mxu_precision(compute_dtype)
+
+
+def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
+                         mask_diagonal: Optional[bool] = None,
+                         block_n: Optional[int] = None,
+                         block_m: Optional[int] = None,
+                         row_offset=0, col_offset=0, col_limit=2**31 - 1,
+                         row_limit=2**31 - 1, **kwargs):
+    """Pallas streaming kernel product on TPU (see `_kernel_matvec_pallas`).
+
+    This wrapper statically decides whether in-tile masking is needed at
+    all: with no diagonal to zero, block-aligned shapes, and static
+    offsets/limits that cannot clip the padded tiles, every tile is fully
+    valid and the per-tile iota/compare/select work is compiled out.
+    """
+    spec = get_kernel(kernel_name)
+    md = spec.zero_diagonal if mask_diagonal is None else mask_diagonal
+    n, d = x.shape
+    m = y.shape[0]
+    bn, bm = default_blocks(d, m, n)
+    bn = block_n if block_n is not None else bn
+    bm = block_m if block_m is not None else bm
+
+    needs_mask = True
+    bounds = (row_offset, col_offset, col_limit, row_limit)
+    if not md and all(isinstance(v, int) for v in bounds):
+        n_pad, m_pad = _ceil_to(n, bn), _ceil_to(m, bm)
+        if (n_pad == n and m_pad == m
+                and col_offset + m_pad <= col_limit
+                and row_offset + n_pad <= row_limit):
+            needs_mask = False
+
+    return _kernel_matvec_pallas(
+        x, y, b, kernel_name=kernel_name, mask_diagonal=md,
+        block_n=block_n, block_m=block_m, needs_mask=needs_mask,
+        row_offset=row_offset, col_offset=col_offset,
+        col_limit=col_limit, row_limit=row_limit, **kwargs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "normalize_rows", "mask_diagonal",
                      "density_estimation", "precision", "block_n", "block_m",
-                     "interpret", "deferred"))
-def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
-                         normalize_rows: bool = False,
-                         mask_diagonal: Optional[bool] = None,
-                         density_estimation: bool = False,
-                         precision: str = "float32",
-                         block_n: Optional[int] = None,
-                         block_m: Optional[int] = None,
-                         interpret: bool = False,
-                         deferred: bool = False,
-                         row_offset=0, col_offset=0, col_limit=2**31 - 1,
-                         row_limit=2**31 - 1):
+                     "interpret", "deferred", "needs_mask"))
+def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
+                          normalize_rows: bool = False,
+                          mask_diagonal: Optional[bool] = None,
+                          density_estimation: bool = False,
+                          precision: str = "float32",
+                          block_n: Optional[int] = None,
+                          block_m: Optional[int] = None,
+                          interpret: bool = False,
+                          deferred: bool = False,
+                          needs_mask: bool = True,
+                          row_offset=0, col_offset=0, col_limit=2**31 - 1,
+                          row_limit=2**31 - 1):
     """Pallas streaming kernel product on TPU.
 
     Args:
@@ -271,21 +366,57 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     if block_m is not None:
         bm = block_m
 
-    # Augment & pad.  Padded rows/cols of the Gram matrix are masked in-tile.
-    x_aug = _augment_target(x.astype(jnp.float32), spec.on, compute_dtype)
-    y_aug = _augment_source(y.astype(jnp.float32), spec.on, compute_dtype)
-    d_aug = x_aug.shape[1]
-    d_pad = _ceil_to(d_aug, LANE)
     n_pad = _ceil_to(n, bn)
     m_pad = _ceil_to(m, bm)
     # A ones column rides in b's lane padding at index e, yielding the
     # kernel row sums from the same matmul:
     e_pad = _ceil_to(e + 1, LANE)
 
-    x_aug = _pad_axis(_pad_axis(x_aug, d_pad, 1), n_pad, 0)
-    y_aug = _pad_axis(_pad_axis(y_aug, d_pad, 1), m_pad, 0)
-    b_pad = _pad_axis(_pad_axis(b.astype(compute_dtype), e_pad, 1), m_pad, 0)
-    b_pad = b_pad.at[:m, e].set(jnp.asarray(1.0, compute_dtype))
+    # Form layout: for small D the MXU matmul would be ~LANE/d wasteful
+    # (the contraction dim pads to 128 lanes), so feed raw + transposed
+    # points and compute the form on the VPU instead (_tile_form).
+    form_mode = "vpu" if d <= 8 else "mxu"
+    if form_mode == "vpu":
+        d_pad = _ceil_to(d, 8)
+        x_in = _pad_axis(_pad_axis(x.astype(jnp.float32), d_pad, 1),
+                         n_pad, 0)
+        y_in = _pad_axis(_pad_axis(y.astype(jnp.float32), d_pad, 1),
+                         m_pad, 0).T          # (d_pad, m_pad), lanes = m
+        x_spec = pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((d_pad, bm), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        # Augment & pad; padded Gram rows/cols are masked in-tile.
+        x_in = _augment_target(x.astype(jnp.float32), spec.on, compute_dtype)
+        y_in = _augment_source(y.astype(jnp.float32), spec.on, compute_dtype)
+        d_pad = _ceil_to(x_in.shape[1], LANE)
+        x_in = _pad_axis(_pad_axis(x_in, d_pad, 1), n_pad, 0)
+        y_in = _pad_axis(_pad_axis(y_in, d_pad, 1), m_pad, 0)
+        x_spec = pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        y_spec = pl.BlockSpec((bm, d_pad), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+    # Accumulation layout: for tiny E in f32, the (bm, 128)-lane MXU
+    # matmul at HIGHEST is the dominant cost — per-column VPU lane
+    # reductions with b transposed are cheaper and exactly f32.
+    n_cols = e + 1
+    acc_mode = ("vpu" if n_cols <= 4 and compute_dtype == jnp.float32
+                else "mxu")
+    if acc_mode == "vpu":
+        e8 = _ceil_to(n_cols, 8)
+        ones_col = jnp.ones((m, 1), jnp.float32)
+        b_pad = _pad_axis(_pad_axis(
+            jnp.concatenate([b.astype(jnp.float32), ones_col], axis=1),
+            e8, 1), m_pad, 0).T                      # (e8, m_pad)
+        b_spec = pl.BlockSpec((e8, bm), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        b_pad = _pad_axis(_pad_axis(b.astype(compute_dtype), e_pad, 1),
+                          m_pad, 0)
+        b_pad = b_pad.at[:m, e].set(jnp.asarray(1.0, compute_dtype))
+        b_spec = pl.BlockSpec((bm, e_pad), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
 
     offs = jnp.stack(
         [jnp.asarray(row_offset, jnp.int32),
@@ -297,20 +428,20 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
 
     common = dict(block_n=bn, block_m=bm, m=m,
                   mask_diagonal=mask_diagonal, compute_dtype=compute_dtype,
-                  mxu_precision=_mxu_precision(compute_dtype))
+                  mxu_precision=_mxu_precision(compute_dtype),
+                  acc_precision=_acc_precision(compute_dtype),
+                  form_mode=form_mode, d=d, needs_mask=needs_mask,
+                  acc_mode=acc_mode, n_cols=n_cols)
     in_specs = [
         pl.BlockSpec((1, 4), lambda i, j: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, d_pad), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, e_pad), lambda i, j: (j, 0),
-                     memory_space=pltpu.VMEM),
+        x_spec,
+        y_spec,
+        b_spec,
     ]
     cost = pl.CostEstimate(
         flops=2 * n_pad * m_pad * (d_pad + e_pad),
-        bytes_accessed=(x_aug.size + y_aug.size + b_pad.size) * 4,
+        bytes_accessed=(x_in.size + y_in.size + b_pad.size) * 4,
         transcendentals=n_pad * m_pad,
     )
 
@@ -337,7 +468,7 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                             pltpu.VMEM((bn, 1), jnp.float32)],
             cost_estimate=cost,
             interpret=interpret,
-        )(offs, x_aug, y_aug, b_pad)
+        )(offs, x_in, y_in, b_pad)
         acc = acc[:n, :e]
         mx = mx[:n]
         l = l[:n]
@@ -355,7 +486,7 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         scratch_shapes=[pltpu.VMEM((bn, e_pad), jnp.float32)],
         cost_estimate=cost,
         interpret=interpret,
-    )(offs, x_aug, y_aug, b_pad)
+    )(offs, x_in, y_in, b_pad)
 
     num = out[:n, :e]
     den = out[:n, e:e + 1]
