@@ -84,9 +84,12 @@ class ShardedProduct(_TpuAlgorithm, BaseProduct):
                   else np.asarray(source_signal, dtype=np.float32))
 
     def query(self):
+        # An "allpairs" request degrades to ring when the device count
+        # only admits a 1-D mesh (e.g. a single chip).
+        schedule = ("ring" if len(self.mesh.shape) == 1 else self.schedule)
         out = sharded_kernel_matvec(
             self.x, self.y, self.b, mesh=self.mesh,
-            schedule=self.schedule, kernel_name=self.kernel,
+            schedule=schedule, kernel_name=self.kernel,
             normalize_rows=self.normalize_rows,
             density_estimation=self.density_estimation,
             precision=self.precision, block_n=self.block_n,

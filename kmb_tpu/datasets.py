@@ -100,13 +100,35 @@ def write_output(*, filename, task, kernel, short_description, description,
 
         # Ground truth, always in the product direction, at float64,
         # streamed in blocks so large datasets never materialize (N, M).
-        f["target_signal"] = blocked_kernel_product(
-            kernel=kernel,
-            source_points=source_points,
-            target_points=None if same_points else f["target_points"][:],
-            source_signal=None if density_estimation else source_signal_arr,
-            normalize_rows=normalize_rows,
-        )
+        target_points_arr = (
+            None if same_points else f["target_points"][:])
+        n_rows = len(source_points if same_points else target_points_arr)
+        use_native = False
+        if n_rows * len(source_points) > 10**7:
+            # Large datasets: the threaded C++ streaming oracle
+            # (cross-checked against the NumPy oracle to ~1e-15 in
+            # tests/test_native.py) avoids hours of NumPy time and the
+            # O(block * M * D) difference buffers.
+            from kmb_tpu import native
+            use_native = native.is_available()
+        if use_native:
+            f["target_signal"] = native.native_kernel_product(
+                kernel=kernel,
+                source_points=source_points,
+                target_points=target_points_arr,
+                source_signal=(
+                    None if density_estimation else source_signal_arr),
+                normalize_rows=normalize_rows,
+            )
+        else:
+            f["target_signal"] = blocked_kernel_product(
+                kernel=kernel,
+                source_points=source_points,
+                target_points=target_points_arr,
+                source_signal=(
+                    None if density_estimation else source_signal_arr),
+                normalize_rows=normalize_rows,
+            )
 
 
 # -- synthetic generators ----------------------------------------------------
