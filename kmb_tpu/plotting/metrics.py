@@ -133,6 +133,13 @@ all_metrics = {
         "function": pairs_per_second,
         "worst": float("-inf"),
     },
+    "pairs-per-second-per-chip": {
+        "description": "Kernel evaluations/s per chip",
+        "function": lambda dataset, result_file, properties, cache: (
+            pairs_per_second(dataset, result_file, properties, cache)
+            / float(properties.get("n_chips", 1))),
+        "worst": float("-inf"),
+    },
     "tflops-per-chip": {
         "description": "TFLOP/s per chip",
         "function": tflops_per_chip,
