@@ -155,6 +155,15 @@ def main(argv=None):
         logging.basicConfig(
             level=logging.INFO, format="%(levelname)s:%(name)s:%(message)s")
 
+    # Multi-host bring-up (no-op unless KMB_COORDINATOR_ADDRESS /
+    # KMB_NUM_PROCESSES are set); every host plans and runs the same
+    # experiments, host 0 writes the results (runner.py).
+    from kmb_tpu.parallel import multihost
+    if multihost.initialize():
+        logger.info("Multi-host: process %d/%d, %d global devices.",
+                    __import__("jax").process_index(),
+                    multihost.num_hosts(), len(__import__("jax").devices()))
+
     definitions = plan_experiments(args)
     if not definitions:
         raise SystemExit("Nothing to run")

@@ -25,6 +25,7 @@ import time
 
 from kmb_tpu.datasets import DATASETS, get_dataset
 from kmb_tpu.definitions import Definition, instantiate_algorithm
+from kmb_tpu.parallel import multihost
 from kmb_tpu.results import CustomJSONizer, store_result
 
 logger = logging.getLogger("kmb")
@@ -80,7 +81,10 @@ def run(*, definition, dataset, runs):
             mem_before = candidate.get_memory_usage()
             t0 = time.perf_counter()
             candidate.fit()
-            this_build = time.perf_counter() - t0
+            # Multi-host: report the slowest host's time (single-host:
+            # identity), so pod-slice timings aren't host-0 optimistic.
+            this_build = multihost.max_across_hosts(
+                time.perf_counter() - t0)
             this_mem = candidate.get_memory_usage() - mem_before
 
             if this_build <= build_time:
@@ -108,7 +112,8 @@ def run(*, definition, dataset, runs):
                 algo.prepare_query(**query_data)     # untimed staging
                 start = time.perf_counter()
                 algo.query()                          # TIMED
-                this_query = time.perf_counter() - start
+                this_query = multihost.max_across_hosts(
+                    time.perf_counter() - start)
                 this_result = algo.get_result()       # untimed device->host
                 if this_query <= query_time:
                     query_time = this_query
@@ -127,15 +132,18 @@ def run(*, definition, dataset, runs):
                 memory_footprint=mem_footprint,
                 **algo.get_additional(),
             )
-            fn = store_result(
-                dataset=dataset,
-                definition=definition,
-                query_arguments=query_arguments,
-                attrs=attrs,
-                result=result,
-                error=result - true_answer,
-            )
-            logger.info("Stored result: %s", fn)
+            if multihost.is_coordinator():
+                fn = store_result(
+                    dataset=dataset,
+                    definition=definition,
+                    query_arguments=query_arguments,
+                    attrs=attrs,
+                    result=result,
+                    error=result - true_answer,
+                )
+                logger.info("Stored result: %s", fn)
+            else:
+                logger.info("Non-coordinator host: result not written.")
     finally:
         if algo is not None:
             algo.done()
