@@ -115,12 +115,17 @@ class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
     """Dense MXU factorization solver (K fits in HBM)."""
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
-                 precision="float32", method="lu"):
+                 precision="float32", method="lu", rcond=1e-6):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         self._check_kernel(kernel)
         self.method = method
+        self.rcond = float(rcond)
         self.name = f"TpuSolverDirect({precision}, {method})"
+
+    def set_query_arguments(self, rcond=None):
+        if rcond is not None:
+            self.rcond = float(rcond)
 
     def prepare_data(self, *, source_points):
         self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
@@ -136,7 +141,7 @@ class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
 
     def query(self):
         self.res = hard_fence(dense_apply(
-            self.factor, self.rhs, method=self.method))
+            self.factor, self.rhs, method=self.method, rcond=self.rcond))
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)

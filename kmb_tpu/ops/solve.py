@@ -72,29 +72,41 @@ def dense_factor(y, *, kernel_name: str, precision: str = "float32",
     Pivoted LU by default: robust for both the indefinite inverse-distance
     matrix and ill-conditioned smooth SPD kernels at float32 (where an
     unpivoted Cholesky can break down).  method="cholesky" opts into the
-    cheaper SPD factorization.
+    cheaper SPD factorization; method="svd" into the truncated-SVD
+    pseudo-inverse — the float32 analog of the reference's LAPACK
+    least-squares solve (bruteforce.py:205-207), far more accurate on
+    numerically singular smooth kernels than exact LU.
     """
     k = kernel_matrix_xla(y, y, kernel_name=kernel_name, precision=precision)
     if method == "cholesky":
         return jax.scipy.linalg.cholesky(k, lower=True)
+    if method == "svd":
+        return jnp.linalg.svd(k, full_matrices=False)
     return jax.scipy.linalg.lu_factor(k)
 
 
 @functools.partial(jax.jit, static_argnames=("method",))
-def dense_apply(factor, rhs, *, method: str = "lu"):
+def dense_apply(factor, rhs, *, method: str = "lu", rcond: float = 1e-6):
     """Back-substitution against a stored factorization (the timed query)."""
     rhs = rhs.astype(jnp.float32)
     if method == "cholesky":
         return jax.scipy.linalg.cho_solve((factor, True), rhs)
+    if method == "svd":
+        u, s, vt = factor
+        mm = functools.partial(jnp.matmul,
+                               precision=jax.lax.Precision.HIGHEST)
+        keep = s > rcond * s[0]
+        s_inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+        return mm(vt.T, s_inv[:, None] * mm(u.T, rhs))
     return jax.scipy.linalg.lu_solve(factor, rhs)
 
 
 def dense_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
-                method: str = "lu"):
+                method: str = "lu", rcond: float = 1e-6):
     """Factorize-and-solve K b = rhs with K materialized in HBM."""
     factor = dense_factor(y, kernel_name=kernel_name, precision=precision,
                           method=method)
-    return dense_apply(factor, rhs, method=method)
+    return dense_apply(factor, rhs, method=method, rcond=rcond)
 
 
 def _default_matvec(y, *, kernel_name, precision):
@@ -163,18 +175,23 @@ def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    # All small matmuls at HIGHEST: on TPU the default bf16 passes perturb
+    # the r x r Gram enough to make it indefinite (NaN factorizations).
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     omega = jax.random.normal(key, (m, rank), jnp.float32)
     omega, _ = jnp.linalg.qr(omega)
     sketch = matvec(omega)                                  # K @ Omega
-    # Shift by a small multiple of the trace scale for a stable Cholesky.
+    # Stabilizing shift at the float32 noise scale of the sketch.
     nu = jnp.sqrt(jnp.asarray(m, jnp.float32)) * jnp.finfo(jnp.float32).eps \
         * jnp.linalg.norm(sketch)
     sketch_nu = sketch + nu * omega
-    gram = omega.T @ sketch_nu
+    gram = mm(omega.T, sketch_nu)
     gram = 0.5 * (gram + gram.T)
-    chol = jax.scipy.linalg.cholesky(gram, lower=True)
-    half = jax.scipy.linalg.solve_triangular(
-        chol, sketch_nu.T, lower=True).T                    # (m, rank)
+    # eigh-based inverse square root instead of Cholesky: tolerates the
+    # residual indefiniteness a float32 Gram can carry.
+    w, v = jnp.linalg.eigh(gram)
+    w = jnp.maximum(w, jnp.finfo(jnp.float32).tiny)
+    half = mm(sketch_nu, v / jnp.sqrt(w)[None, :])          # (m, rank)
     u, s, _ = jnp.linalg.svd(half, full_matrices=False)
     lam = jnp.maximum(s * s - nu, 0.0)
     return u, lam
@@ -192,12 +209,13 @@ def apply_nystrom_precond(u, lam, v, *, rel_floor: float = 1e-4):
     diverge — below the floor the preconditioner smoothly degrades to the
     identity.
     """
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     lam_r = jnp.maximum(
         jnp.maximum(lam[-1], rel_floor * lam[0]),
         jnp.finfo(jnp.float32).tiny)
     lam_safe = jnp.maximum(lam, lam_r)
-    utv = u.T @ v
-    return u @ ((lam_r / lam_safe)[:, None] * utv) + (v - u @ utv)
+    utv = mm(u.T, v)
+    return mm(u, (lam_r / lam_safe)[:, None] * utv) + (v - mm(u, utv))
 
 
 def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",

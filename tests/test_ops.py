@@ -160,6 +160,25 @@ class TestSolvers:
                                      method="cholesky"))
         np.testing.assert_allclose(got, b, atol=5e-2)
 
+    def test_dense_solve_svd_beats_lu_when_singular(self, rng):
+        """Truncated-SVD solve degrades gracefully on numerically singular
+        smooth kernels where exact LU blows up (the reference's lstsq
+        behavior, bruteforce.py:205-207)."""
+        from kmb_tpu.datasets import fibonacci_sphere
+        m = 500
+        y = fibonacci_sphere(m).astype(np.float32)
+        b = rng.standard_normal((m, 1))
+        k = kernel_matrix(kernel="gaussian",
+                          source_points=y.astype(np.float64))
+        rhs = (k @ b).astype(np.float32)
+        err = {}
+        for method in ["lu", "svd"]:
+            got = np.asarray(dense_solve(
+                jnp.array(y), jnp.array(rhs), kernel_name="gaussian",
+                method=method))
+            err[method] = np.abs(got - b).max()
+        assert err["svd"] < err["lu"]
+
     def test_dense_solve_indefinite(self, rng):
         y, b, rhs = self._spd_problem(rng, kernel="inverse-distance")
         got = np.asarray(dense_solve(jnp.array(y), jnp.array(rhs),
