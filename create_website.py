@@ -41,10 +41,6 @@ def _chart_id(*parts):
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
-def get_run_desc(properties):
-    return "%(dataset)s — %(algo)s" % properties
-
-
 def prepare_data(data, xn, yn):
     """[(algo, name, x, y)] rows for one page and one plot variant."""
     return [(algo, name, values[xn], values[yn])
@@ -170,7 +166,6 @@ def main(argv=None):
 
     by_dataset, by_algorithm = load_results_grouped(
         datasets=args.datasets, recompute=args.recompute)
-    all_names = sorted(by_dataset) + sorted(by_algorithm)
     linestyles = create_linestyles(
         sorted({algo for runs in by_dataset.values()
                 for algo, _, _ in runs}))
