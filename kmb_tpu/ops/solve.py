@@ -81,7 +81,11 @@ def dense_factor(y, *, kernel_name: str, precision: str = "float32",
     if method == "cholesky":
         return jax.scipy.linalg.cholesky(k, lower=True)
     if method == "svd":
-        return jnp.linalg.svd(k, full_matrices=False)
+        # K is symmetric, so the truncated pseudo-inverse comes from an
+        # eigendecomposition (|w| thresholding covers the indefinite
+        # inverse-distance matrix too).  eigh needs far less HBM workspace
+        # than general SVD — M=10^4 general SVD OOMs a 16 GB chip.
+        return jnp.linalg.eigh(0.5 * (k + k.T))
     return jax.scipy.linalg.lu_factor(k)
 
 
@@ -92,12 +96,12 @@ def dense_apply(factor, rhs, *, method: str = "lu", rcond: float = 1e-6):
     if method == "cholesky":
         return jax.scipy.linalg.cho_solve((factor, True), rhs)
     if method == "svd":
-        u, s, vt = factor
+        w, v = factor
         mm = functools.partial(jnp.matmul,
                                precision=jax.lax.Precision.HIGHEST)
-        keep = s > rcond * s[0]
-        s_inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
-        return mm(vt.T, s_inv[:, None] * mm(u.T, rhs))
+        keep = jnp.abs(w) > rcond * jnp.max(jnp.abs(w))
+        w_inv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+        return mm(v, w_inv[:, None] * mm(v.T, rhs))
     return jax.scipy.linalg.lu_solve(factor, rhs)
 
 
