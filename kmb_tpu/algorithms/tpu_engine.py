@@ -24,6 +24,8 @@ transfers and dtype casts happen in the untimed `prepare_*` hooks
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -166,7 +168,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         self.block_m = block_m
         self.iterations = 0
         self.residual = float("nan")
-        self._precond_factors = None
+        self._precond_fn = None
         self.name = (f"TpuSolverCG({precision}, tol={tol}, "
                      f"rank={precond_rank})")
 
@@ -191,9 +193,14 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         # streaming matvecs fused into one engine call).  rank=0 skips it.
         if self.precond_rank > 0:
             rank = min(self.precond_rank, self.y.shape[0])
-            self._precond_factors = hard_fence(
-                nystrom_preconditioner(
-                    self._iterated_op, self.y.shape[0], rank))
+            u, lam = hard_fence(nystrom_preconditioner(
+                self._iterated_op, self.y.shape[0], rank))
+            # Built ONCE: _pcg jit-caches on the precond callable, so the
+            # same partial object must be reused across query runs.
+            self._precond_fn = functools.partial(
+                apply_nystrom_precond, u, lam)
+        else:
+            self._precond_fn = None
 
     def set_query_arguments(self, tol=None, max_iters=None):
         if tol is not None:
@@ -207,11 +214,6 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
 
     def query(self):
-        precond = None
-        if self._precond_factors is not None:
-            u, lam = self._precond_factors
-            precond = lambda v: apply_nystrom_precond(u, lam, v)  # noqa: E731
-
         b, iters, residual = cg_solve(
             self.y, self.rhs,
             kernel_name=self.kernel,
@@ -219,7 +221,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
             tol=float(self.tol),
             max_iters=int(self.max_iters),
             matvec=self._matvec,
-            precond=precond,
+            precond=self._precond_fn,
         )
         self.res = hard_fence(b)
         self.iterations = int(iters)

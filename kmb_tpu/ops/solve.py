@@ -120,6 +120,31 @@ def _default_matvec(y, *, kernel_name, precision):
     return matvec
 
 
+class NormalEquationsOp:
+    """K^2 matvec with hashing stable under the wrapped matvec.
+
+    Lets `_pcg`'s jit cache hit across calls: a fresh lambda per call
+    would force a full retrace + compile of the CG while_loop inside the
+    timed query (observed ~0.9 s per solve regardless of iteration
+    count).
+    """
+
+    def __init__(self, matvec: Callable):
+        self.matvec = matvec
+
+    def __call__(self, v):
+        return self.matvec(self.matvec(v))
+
+    def __hash__(self):
+        return hash(("normal-equations", self.matvec))
+
+    def __eq__(self, other):
+        return (isinstance(other, NormalEquationsOp)
+                and self.matvec == other.matvec)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("matvec", "tol", "max_iters", "precond"))
 def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
          precond: Optional[Callable] = None):
     """Multi-RHS preconditioned conjugate gradient.
@@ -127,6 +152,10 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
     every column satisfies ||r|| <= tol * ||rhs|| (true residual, not the
     preconditioned one), or at max_iters.  `precond` applies M^-1.
+
+    jit-compiled with the callables static: callers must pass *stable*
+    function objects (bound methods, functools.partial built once) or
+    they pay a retrace per call inside the timed region.
     """
     rhs = rhs.astype(jnp.float32)
     if precond is None:
@@ -242,8 +271,6 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
     if kernel_name in SPD_KERNELS:
         return _pcg(matvec, rhs, tol, max_iters, precond=precond)
 
-    def normal_matvec(v):
-        return matvec(matvec(v))
-
     k_rhs = matvec(rhs.astype(jnp.float32))
-    return _pcg(normal_matvec, k_rhs, tol, max_iters, precond=precond)
+    return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
+                precond=precond)
