@@ -163,12 +163,12 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
 
     def cond(state):
-        _, r, _, _, rs, it = state
+        _, _, _, _, rs, _, _, it = state
         return jnp.logical_and(it < max_iters,
                                jnp.any(rs > target_sq))
 
     def body(state):
-        b, r, p, rz_old, _, it = state
+        b, r, p, rz_old, _, best_b, best_rs, it = state
         kp = matvec(p)
         denom = jnp.sum(p * kp, axis=0)
         alpha = jnp.where(denom != 0.0, rz_old / denom, 0.0)
@@ -178,18 +178,25 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
         p = z + beta * p
-        return b, r, p, rz_new, jnp.sum(r * r, axis=0), it + 1
+        rs_new = jnp.sum(r * r, axis=0)
+        # Track the best iterate per column: on ill-conditioned systems
+        # float32 (P)CG can stall or diverge after its best point, and the
+        # caller must never get an iterate worse than one already visited.
+        improved = rs_new < best_rs
+        best_b = jnp.where(improved[None, :], b, best_b)
+        best_rs = jnp.minimum(rs_new, best_rs)
+        return b, r, p, rz_new, rs_new, best_b, best_rs, it + 1
 
     b0 = jnp.zeros_like(rhs)
     r0 = rhs
     z0 = precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=0)
     rs0 = jnp.sum(r0 * r0, axis=0)
-    b, r, _, _, rs, iters = jax.lax.while_loop(
-        cond, body, (b0, r0, z0, rz0, rs0, jnp.int32(0)))
-    residual = jnp.sqrt(jnp.max(rs / jnp.maximum(
+    _, _, _, _, _, best_b, best_rs, iters = jax.lax.while_loop(
+        cond, body, (b0, r0, z0, rz0, rs0, b0, rs0, jnp.int32(0)))
+    residual = jnp.sqrt(jnp.max(best_rs / jnp.maximum(
         jnp.sum(rhs * rhs, axis=0), 1e-30)))
-    return b, iters, residual
+    return best_b, iters, residual
 
 
 def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
