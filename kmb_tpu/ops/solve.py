@@ -143,6 +143,9 @@ class NormalEquationsOp:
                 and self.matvec == other.matvec)
 
 
+PCG_STALL_WINDOW = 60
+
+
 @functools.partial(jax.jit,
                    static_argnames=("matvec", "tol", "max_iters", "precond"))
 def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
@@ -151,7 +154,11 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
 
     Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
     every column satisfies ||r|| <= tol * ||rhs|| (true residual, not the
-    preconditioned one), or at max_iters.  `precond` applies M^-1.
+    preconditioned one), at max_iters, or after PCG_STALL_WINDOW
+    iterations with no best-residual improvement (float32 CG on
+    ill-conditioned systems hits a rounding floor above tight tolerances;
+    grinding to max_iters there wastes the whole iteration budget).
+    Always returns the best iterate visited, never a later diverged one.
 
     jit-compiled with the callables static: callers must pass *stable*
     function objects (bound methods, functools.partial built once) or
@@ -163,12 +170,13 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
 
     def cond(state):
-        _, _, _, _, rs, _, _, it = state
-        return jnp.logical_and(it < max_iters,
-                               jnp.any(rs > target_sq))
+        _, _, _, _, rs, _, _, stall, it = state
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iters, stall < PCG_STALL_WINDOW),
+            jnp.any(rs > target_sq))
 
     def body(state):
-        b, r, p, rz_old, _, best_b, best_rs, it = state
+        b, r, p, rz_old, _, best_b, best_rs, stall, it = state
         kp = matvec(p)
         denom = jnp.sum(p * kp, axis=0)
         alpha = jnp.where(denom != 0.0, rz_old / denom, 0.0)
@@ -179,21 +187,20 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
         beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
         p = z + beta * p
         rs_new = jnp.sum(r * r, axis=0)
-        # Track the best iterate per column: on ill-conditioned systems
-        # float32 (P)CG can stall or diverge after its best point, and the
-        # caller must never get an iterate worse than one already visited.
         improved = rs_new < best_rs
         best_b = jnp.where(improved[None, :], b, best_b)
         best_rs = jnp.minimum(rs_new, best_rs)
-        return b, r, p, rz_new, rs_new, best_b, best_rs, it + 1
+        stall = jnp.where(jnp.any(improved), 0, stall + 1)
+        return b, r, p, rz_new, rs_new, best_b, best_rs, stall, it + 1
 
     b0 = jnp.zeros_like(rhs)
     r0 = rhs
     z0 = precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=0)
     rs0 = jnp.sum(r0 * r0, axis=0)
-    _, _, _, _, _, best_b, best_rs, iters = jax.lax.while_loop(
-        cond, body, (b0, r0, z0, rz0, rs0, b0, rs0, jnp.int32(0)))
+    _, _, _, _, _, best_b, best_rs, _, iters = jax.lax.while_loop(
+        cond, body, (b0, r0, z0, rz0, rs0, b0, rs0, jnp.int32(0),
+                     jnp.int32(0)))
     residual = jnp.sqrt(jnp.max(best_rs / jnp.maximum(
         jnp.sum(rhs * rhs, axis=0), 1e-30)))
     return best_b, iters, residual
