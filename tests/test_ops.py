@@ -241,10 +241,12 @@ class TestSolvers:
 
         assert int(it_pre) < int(it_plain)
         assert float(res_pre) < 1e-5
-        # Ill-conditioned systems: equal-residual iterates can differ at
-        # the amplified-rounding scale, so compare loosely.
-        np.testing.assert_allclose(
-            np.asarray(pre), np.asarray(plain), atol=2e-2)
+        # Ill-conditioned systems: different converged iterates can differ
+        # at the amplified-rounding scale, so judge by residual quality,
+        # not by iterate proximity.
+        resid = kernel_matvec(y, y, pre, kernel_name=kernel) - rhs
+        rel = float(jnp.linalg.norm(resid) / jnp.linalg.norm(rhs))
+        assert rel < 1e-4
 
     def test_nystrom_precond_is_spd(self, rng):
         """M^-1 must be symmetric positive definite for PCG validity."""
