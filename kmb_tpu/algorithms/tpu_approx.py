@@ -1,0 +1,136 @@
+"""Approximate kernel products: the Htool slot, TPU-native.
+
+The reference benchmarks exactly one approximate method — the external
+Htool C++ H-matrix library (htool.py:15-165), whose knobs
+(epsilon / maxblocksize / eta) trade accuracy for speed.  These wrappers
+provide that role with MXU-shaped compression instead of cluster trees
+(see ops/lowrank.py for the math):
+
+- `NystromProduct(rank=...)`: landmark low-rank factorization.  `fit`
+  (TIMED, like Htool's build_HMatrix, htool.py:106-132) selects landmarks,
+  factors W = K(L, L), and materializes the tall-skinny cross blocks
+  K(x, L) / K(y, L).  `query` is two (tall, rank) matmuls.
+- `RandomFeatureProduct(num_features=...)`: explicit feature maps (random
+  Fourier features; positive Performer features for the attention
+  kernel).  `fit` builds Φx / Φy; `query` is two matmuls.
+
+Both support product + attention (row normalization and density estimation
+via the ones-column trick, reference bruteforce.py:140-145) and report
+their compression ratio via `get_additional`.  The singular
+"inverse-distance" kernel is rejected — it is not low-rank-compressible by
+these schemes (exact engines cover it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from kmb_tpu.utils import hard_fence
+from kmb_tpu.algorithms.base import BaseProduct
+from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
+from kmb_tpu.ops.lowrank import (
+    LOWRANK_KERNELS, feature_apply, nystrom_apply, nystrom_core,
+    nystrom_factors, random_feature_map, select_landmarks,
+)
+
+
+class _ApproxProduct(_TpuAlgorithm, BaseProduct):
+    """Shared staging for the approximate product wrappers."""
+
+    def _check_kernel(self, kernel):
+        if kernel not in LOWRANK_KERNELS:
+            raise NotImplementedError(
+                f"{type(self).__name__} doesn't support kernel {kernel!r} "
+                f"(supported: {LOWRANK_KERNELS}).")
+
+    def prepare_data(self, *, source_points, target_points, same_points=False,
+                     density_estimation=False):
+        self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
+        self.x = (self.y if same_points else jax.device_put(
+            np.asarray(target_points, dtype=np.float32)))
+        self.same_points = same_points
+        self.density_estimation = density_estimation
+
+    def prepare_query(self, *, source_signal):
+        self.b = (None if self.density_estimation else jax.device_put(
+            np.asarray(source_signal, dtype=np.float32)))
+
+    def get_result(self):
+        return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
+
+
+class NystromProduct(_ApproxProduct):
+    """Landmark low-rank (Nyström) kernel product: K ≈ K(·,L) W⁺ K(L,·)."""
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", rank=256, rcond=1e-6, seed=0):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        self._check_kernel(kernel)
+        self.rank = int(rank)
+        self.rcond = float(rcond)
+        self.seed = int(seed)
+        self.name = f"NystromProduct(rank={rank})"
+
+    def fit(self):
+        # TIMED compression build (the analog of Htool's H-matrix assembly).
+        landmarks = select_landmarks(self.y, self.rank, seed=self.seed)
+        self.u, self.inv_lam = nystrom_core(
+            landmarks, self.kernel, rcond=self.rcond)
+        self.zx, self.zy = nystrom_factors(
+            self.x, self.y, landmarks, self.kernel)
+        hard_fence((self.u, self.inv_lam, self.zx, self.zy))
+
+    def query(self):
+        self.res = hard_fence(nystrom_apply(
+            self.zx, self.zy, self.u, self.inv_lam, self.b,
+            normalize_rows=self.normalize_rows,
+            density_estimation=self.density_estimation))
+
+    def get_additional(self):
+        n, m = self.zx.shape[0], self.zy.shape[0]
+        r = self.u.shape[0]
+        return {"rank": r,
+                "compression": float(n * m) / float((n + m + r) * r)}
+
+    def done(self):
+        self.u = self.inv_lam = self.zx = self.zy = None
+
+
+class RandomFeatureProduct(_ApproxProduct):
+    """Random-feature kernel product: K @ b ≈ Φx (Φyᵀ b)."""
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", num_features=1024, seed=0):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        self._check_kernel(kernel)
+        self.num_features = int(num_features)
+        self.seed = int(seed)
+        self.name = f"RandomFeatureProduct(F={num_features})"
+
+    def fit(self):
+        # TIMED: sampling the spectral frequencies and projecting both
+        # point clouds through them is the compression build.
+        self.phi_x = random_feature_map(
+            self.x, self.kernel, self.num_features, seed=self.seed)
+        self.phi_y = (self.phi_x if self.same_points else random_feature_map(
+            self.y, self.kernel, self.num_features, seed=self.seed))
+        hard_fence((self.phi_x, self.phi_y))
+
+    def query(self):
+        self.res = hard_fence(feature_apply(
+            self.phi_x, self.phi_y, self.b,
+            normalize_rows=self.normalize_rows,
+            density_estimation=self.density_estimation))
+
+    def get_additional(self):
+        n, m = self.phi_x.shape[0], self.phi_y.shape[0]
+        f = self.num_features
+        return {"num_features": f,
+                "compression": float(n * m) / float((n + m) * f)}
+
+    def done(self):
+        self.phi_x = self.phi_y = None

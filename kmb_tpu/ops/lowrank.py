@@ -1,0 +1,190 @@
+"""Approximate (compressed) kernel products: Nyström and random features.
+
+This is the TPU-native answer to the slot the reference reserves for the
+Htool C++ hierarchical-matrix library (htool.py:15-165): *approximate*
+methods with an explicit accuracy <-> time knob that populate the Pareto
+front between the exact engines and the fast-but-wrong end.  Instead of
+H-matrix block compression (pointer-chasing cluster trees — hostile to the
+MXU), we use two classic global low-rank schemes that map onto large dense
+matmuls, which is exactly what the TPU systolic array wants:
+
+1. **Nyström** — pick `rank` landmark points L ⊂ y, factor
+       K(x, y) ≈ K(x, L) · W⁺ · K(L, y),      W = K(L, L)
+   (W⁺ a clipped eigendecomposition pseudo-inverse).  Build cost
+   O((N + M)·r·D + r³); a product query is two (tall, r) matmuls:
+   O((N + M)·r·E).  The analog of Htool's `epsilon`/`maxblocksize` is
+   `rank`.
+
+2. **Random features** — an explicit feature map φ with
+   E[φ(x)ᵀ φ(y)] = k(x, y), so  K @ b ≈ Φx (Φyᵀ b):
+   - "gaussian"              exp(-|x-y|²): random Fourier features,
+     ω ~ N(0, 2·I), φ(x) = sqrt(2/F)·cos(ωᵀx + u)  (Rahimi & Recht 2007).
+   - "absolute-exponential"  exp(-|x-y|): same construction with ω drawn
+     from the kernel's spectral measure, the isotropic multivariate
+     Cauchy (Student-t, ν=1): ω = z / |g|, z ~ N(0, I), g ~ N(0, 1).
+   - "exponential"           exp(<x,y>): *positive* random features
+     φ(x) = exp(ωᵀx − |x|²/2) / sqrt(F), ω ~ N(0, I)  — the Performer /
+     FAVOR+ estimator, unbiased for exp(<x,y>) and safe to row-normalize
+     (attention) because every feature is positive.
+
+Both schemes exclude the singular "inverse-distance" kernel: it is not
+positive-definite and has no spectral measure; the exact streaming engine
+(ops/product.py) covers it.
+
+Row normalization (attention) and density estimation reuse the harness-wide
+ones-column trick (reference bruteforce.py:140-145): a ones column appended
+to b yields the approximate kernel row sums from the same matmuls.
+
+All matmuls run at float32 with HIGHEST MXU precision (see
+ops/product._mxu_precision for why DEFAULT f32 would silently be bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LOWRANK_KERNELS = ("gaussian", "absolute-exponential", "exponential")
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _check_kernel(kernel_name: str):
+    if kernel_name not in LOWRANK_KERNELS:
+        raise NotImplementedError(
+            f"Low-rank approximation does not support {kernel_name!r} "
+            f"(supported: {LOWRANK_KERNELS}).")
+
+
+def _cross_kernel(x, landmarks, kernel_name: str):
+    """Dense (n, r) kernel block K(x, L) — r is small, so materializing
+    this tall-skinny block is the point of the compression."""
+    if kernel_name == "exponential":
+        form = jnp.matmul(x, landmarks.T, precision=_HI)
+        return jnp.exp(form)
+    xsq = jnp.sum(x * x, axis=1, keepdims=True)
+    lsq = jnp.sum(landmarks * landmarks, axis=1, keepdims=True).T
+    sqd = jnp.maximum(xsq + lsq - 2.0 * jnp.matmul(
+        x, landmarks.T, precision=_HI), 0.0)
+    if kernel_name == "gaussian":
+        return jnp.exp(-sqd)
+    return jnp.exp(-jnp.sqrt(sqd))  # absolute-exponential
+
+
+def select_landmarks(y, rank: int, seed: int = 0):
+    """`rank` landmark rows of y, uniformly without replacement."""
+    m = y.shape[0]
+    rank = min(rank, m)
+    idx = jax.random.choice(
+        jax.random.PRNGKey(seed), m, shape=(rank,), replace=False)
+    return y[jnp.sort(idx)]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "rcond"))
+def nystrom_core(landmarks, kernel_name: str, rcond: float = 1e-6):
+    """Clipped pseudo-inverse factor of W = K(L, L).
+
+    Returns (u, inv_lam) with W⁺ = u · diag(inv_lam) · uᵀ; eigenvalues
+    below rcond·λ_max are dropped (their inverse set to 0), which is what
+    keeps the Nyström extension stable when landmarks nearly coincide.
+    """
+    w = _cross_kernel(landmarks, landmarks, kernel_name)
+    lam, u = jnp.linalg.eigh(w)
+    cutoff = rcond * jnp.max(jnp.abs(lam))
+    inv_lam = jnp.where(lam > cutoff, 1.0 / lam, 0.0)
+    return u, inv_lam
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def nystrom_factors(x, y, landmarks, kernel_name: str):
+    """The two tall-skinny cross blocks K(x, L) (n, r) and K(y, L) (m, r)."""
+    return (_cross_kernel(x, landmarks, kernel_name),
+            _cross_kernel(y, landmarks, kernel_name))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize_rows", "density_estimation"))
+def nystrom_apply(zx, zy, u, inv_lam, b, *, normalize_rows=False,
+                  density_estimation=False):
+    """a ≈ K(x,L) W⁺ K(L,y) b, with row sums from a riding ones column.
+
+    zx: (n, r) = K(x, L); zy: (m, r) = K(y, L); (u, inv_lam) from
+    `nystrom_core`.  b: (m, E) or None (density estimation).
+    """
+    m = zy.shape[0]
+    if density_estimation and normalize_rows:
+        return jnp.ones((zx.shape[0], 1), jnp.float32)
+    if b is None:
+        b = jnp.ones((m, 1), jnp.float32)
+    ones = jnp.ones((m, 1), b.dtype)
+    b_aug = jnp.concatenate([b, ones], axis=1)        # (m, E+1)
+    t = jnp.matmul(zy.T, b_aug, precision=_HI)        # (r, E+1)
+    s = u @ (inv_lam[:, None] * (u.T @ t))            # W⁺ t
+    out = jnp.matmul(zx, s, precision=_HI)            # (n, E+1)
+    num, den = out[:, :-1], out[:, -1:]
+    if density_estimation:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_name", "num_features"))
+def random_feature_map(points, kernel_name: str, num_features: int,
+                       seed: int = 0):
+    """(n, F) feature matrix Φ with E[Φ(x) Φ(y)ᵀ] = K(x, y)."""
+    _check_kernel(kernel_name)
+    n, d = points.shape
+    key = jax.random.PRNGKey(seed)
+    k_omega, k_phase, k_nu = jax.random.split(key, 3)
+    pts = points.astype(jnp.float32)
+
+    if kernel_name == "exponential":
+        # Positive features (Performer FAVOR+): unbiased for exp(<x,y>)
+        # and strictly positive, so attention normalization stays sane.
+        omega = jax.random.normal(k_omega, (d, num_features), jnp.float32)
+        proj = jnp.matmul(pts, omega, precision=_HI)
+        log_phi = proj - 0.5 * jnp.sum(pts * pts, axis=1, keepdims=True)
+        # Stabilize per-feature-map (cancels in the x·y product only for
+        # normalized attention; for raw products keep it exact):
+        return jnp.exp(log_phi) / jnp.sqrt(float(num_features))
+
+    if kernel_name == "gaussian":
+        # exp(-|x-y|^2) = RBF with gamma=1  =>  ω ~ N(0, 2 I).
+        omega = jnp.sqrt(2.0) * jax.random.normal(
+            k_omega, (d, num_features), jnp.float32)
+    else:  # absolute-exponential: spectral measure = isotropic Cauchy.
+        z = jax.random.normal(k_omega, (d, num_features), jnp.float32)
+        g = jax.random.normal(k_nu, (1, num_features), jnp.float32)
+        omega = z / jnp.maximum(jnp.abs(g), 1e-20)
+    phase = jax.random.uniform(
+        k_phase, (num_features,), jnp.float32, 0.0, 2.0 * jnp.pi)
+    proj = jnp.matmul(pts, omega, precision=_HI) + phase
+    return jnp.sqrt(2.0 / num_features) * jnp.cos(proj)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize_rows", "density_estimation"))
+def feature_apply(phi_x, phi_y, b, *, normalize_rows=False,
+                  density_estimation=False):
+    """a ≈ Φx (Φyᵀ [b, 1]):  two matmuls, row sums from the ones column."""
+    m = phi_y.shape[0]
+    if density_estimation and normalize_rows:
+        return jnp.ones((phi_x.shape[0], 1), jnp.float32)
+    if b is None:
+        b = jnp.ones((m, 1), jnp.float32)
+    ones = jnp.ones((m, 1), b.dtype)
+    b_aug = jnp.concatenate([b, ones], axis=1)
+    t = jnp.matmul(phi_y.T, b_aug, precision=_HI)     # (F, E+1)
+    out = jnp.matmul(phi_x, t, precision=_HI)         # (n, E+1)
+    num, den = out[:, :-1], out[:, -1:]
+    if density_estimation:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
