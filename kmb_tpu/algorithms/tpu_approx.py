@@ -28,11 +28,12 @@ import numpy as np
 import jax
 
 from kmb_tpu.utils import hard_fence
-from kmb_tpu.algorithms.base import BaseProduct
+from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
 from kmb_tpu.ops.lowrank import (
     LOWRANK_KERNELS, feature_apply, nystrom_apply, nystrom_core,
-    nystrom_factors, random_feature_map, select_landmarks,
+    nystrom_factors, nystrom_solver_apply, nystrom_solver_build,
+    random_feature_map, select_landmarks,
 )
 
 
@@ -97,6 +98,64 @@ class NystromProduct(_ApproxProduct):
 
     def done(self):
         self.u = self.inv_lam = self.zx = self.zy = None
+
+
+class NystromSolver(_TpuAlgorithm, BaseSolver):
+    """Approximate ridge solver: b ≈ (λI + K̂)⁻¹ a with Nyström K̂ = C Cᵀ.
+
+    The compressed counterpart of TpuSolverDirect/TpuSolverCG: `fit`
+    (TIMED) builds the rank-r Woodbury workspace in O(M·r·D + M·r² + r³);
+    each solve is two (M, r) matmuls plus an (r, r) positive-definite
+    solve — independent of how ill-conditioned the full K is.  Accuracy is
+    floored by the rank truncation; `lam` (a query argument, like the
+    reference solvers' rcond) trades truncation error against ridge bias.
+    """
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", rank=512, lam=1e-4, rcond=1e-6,
+                 seed=0):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        if kernel not in LOWRANK_KERNELS:
+            raise NotImplementedError(
+                f"NystromSolver doesn't support kernel {kernel!r} "
+                f"(supported: {LOWRANK_KERNELS}).")
+        self.rank = int(rank)
+        self.lam = float(lam)
+        self.rcond = float(rcond)
+        self.seed = int(seed)
+        self.name = f"NystromSolver(rank={rank}, lam={lam})"
+
+    def prepare_data(self, *, source_points):
+        self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
+
+    def fit(self):
+        landmarks = select_landmarks(self.y, self.rank, seed=self.seed)
+        self.c, self.gram = nystrom_solver_build(
+            self.y, landmarks, self.kernel, rcond=self.rcond)
+        hard_fence((self.c, self.gram))
+
+    def set_query_arguments(self, lam=None):
+        if lam is not None:
+            self.lam = float(lam)
+        self.name = f"NystromSolver(rank={self.rank}, lam={self.lam})"
+
+    def prepare_query(self, *, target_signal):
+        self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
+
+    def query(self):
+        self.res = hard_fence(nystrom_solver_apply(
+            self.c, self.gram, self.rhs, self.lam))
+
+    def get_additional(self):
+        m, r = self.c.shape
+        return {"rank": r, "compression": float(m) / float(r)}
+
+    def get_result(self):
+        return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
+
+    def done(self):
+        self.c = self.gram = None
 
 
 class RandomFeatureProduct(_ApproxProduct):

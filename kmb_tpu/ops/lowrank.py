@@ -132,6 +132,36 @@ def nystrom_apply(zx, zy, u, inv_lam, b, *, normalize_rows=False,
     return num
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_name", "rcond"))
+def nystrom_solver_build(y, landmarks, kernel_name: str,
+                         rcond: float = 1e-6):
+    """Build the Woodbury workspace for approximate solves with K̂.
+
+    Factor the Nyström approximation as K̂ = C Cᵀ with
+    C = K(y, L) · u · diag(inv_lam)^{1/2} (m, r), then precompute the
+    (r, r) Gram block G = CᵀC.  The ridge-regularized solve
+        (λI + C Cᵀ)⁻¹ a = (a − C (λI_r + G)⁻¹ Cᵀ a) / λ
+    (Woodbury identity) then costs two tall matmuls + one (r, r)
+    factorization per λ — the approximate-solver counterpart of the
+    compressed product.
+    """
+    u, inv_lam = nystrom_core(landmarks, kernel_name, rcond=rcond)
+    z = _cross_kernel(y, landmarks, kernel_name)          # (m, r)
+    c = jnp.matmul(z, u * jnp.sqrt(inv_lam)[None, :], precision=_HI)
+    gram = jnp.matmul(c.T, c, precision=_HI)              # (r, r)
+    return c, gram
+
+
+@jax.jit
+def nystrom_solver_apply(c, gram, rhs, lam):
+    """(λI + C Cᵀ)⁻¹ rhs via Woodbury; rhs (m, E), lam > 0."""
+    r = gram.shape[0]
+    inner = lam * jnp.eye(r, dtype=gram.dtype) + gram
+    t = jnp.matmul(c.T, rhs, precision=_HI)               # (r, E)
+    s = jax.scipy.linalg.solve(inner, t, assume_a="pos")
+    return (rhs - jnp.matmul(c, s, precision=_HI)) / lam
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel_name", "num_features"))
 def random_feature_map(points, kernel_name: str, num_features: int,

@@ -11,7 +11,9 @@ import pytest
 import jax.numpy as jnp
 
 from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
-from kmb_tpu.algorithms.tpu_approx import NystromProduct, RandomFeatureProduct
+from kmb_tpu.algorithms.tpu_approx import (
+    NystromProduct, NystromSolver, RandomFeatureProduct,
+)
 from kmb_tpu.ops.lowrank import (
     feature_apply, nystrom_apply, nystrom_core, nystrom_factors,
     random_feature_map, select_landmarks,
@@ -107,6 +109,61 @@ def test_inverse_distance_rejected():
         NystromProduct(kernel="inverse-distance", dimension=3)
     with pytest.raises(NotImplementedError):
         RandomFeatureProduct(kernel="inverse-distance", dimension=3)
+    with pytest.raises(NotImplementedError):
+        NystromSolver(kernel="inverse-distance", dimension=3)
+
+
+def test_nystrom_solver_full_rank_is_ridge_solve(clouds):
+    # With every source as a landmark, K_hat == K, so the Woodbury solve
+    # equals the ridge solve (K + lam I)^-1 a -> K^-1 a as lam -> 0.
+    _, y, _ = clouds
+    rng = np.random.default_rng(7)
+    b_true = rng.standard_normal((150, 2))
+    k = kernel_matrix(kernel="gaussian",
+                      source_points=y.astype(np.float64),
+                      target_points=y.astype(np.float64))
+    a = (k @ b_true).astype(np.float32)
+
+    algo = NystromSolver(kernel="gaussian", dimension=3, rank=150)
+    algo.prepare_data(source_points=y)
+    algo.fit()
+    algo.set_query_arguments(lam=1e-2)
+    algo.prepare_query(target_signal=a)
+    algo.query()
+    b_hat = algo.get_result()
+    # Judge by residual in the K-image (K is ill-conditioned —
+    # cond ~ 1e13 here — so the solution itself is not identifiable at
+    # f32, and overly small lam *amplifies* the f32 factorization noise).
+    res = np.linalg.norm(k @ b_hat - a.astype(np.float64))
+    assert res / np.linalg.norm(a) < 1e-2
+    algo.done()
+
+
+def test_nystrom_solver_lam_sweep_stays_finite(clouds):
+    _, y, _ = clouds
+    rng = np.random.default_rng(7)
+    b_true = rng.standard_normal((150, 1))
+    k = kernel_matrix(kernel="gaussian",
+                      source_points=y.astype(np.float64),
+                      target_points=y.astype(np.float64))
+    a = (k @ b_true).astype(np.float32)
+
+    algo = NystromSolver(kernel="gaussian", dimension=3, rank=150)
+    algo.prepare_data(source_points=y)
+    algo.fit()
+
+    def residual(lam):
+        algo.set_query_arguments(lam=lam)
+        algo.prepare_query(target_signal=a)
+        algo.query()
+        b_hat = algo.get_result()
+        assert np.isfinite(b_hat).all()
+        return (np.linalg.norm(k @ b_hat - a.astype(np.float64))
+                / np.linalg.norm(a))
+
+    # The lam knob spans the Pareto axis; its best point must be accurate.
+    assert min(residual(lam) for lam in (1e-6, 1e-4, 1e-2)) < 5e-3
+    algo.done()
 
 
 @pytest.mark.parametrize("algo_cls,kwargs", [
