@@ -22,12 +22,12 @@ Environment knobs: KMB_BENCH_N (TPU-side N=M, default 524288),
 KMB_BENCH_RUNS (default 3), KMB_BENCH_PRECISION (default float32),
 KMB_BENCH_BASELINE_N (default 10000).
 
-Measured 2026-08-17 on one TPU v5e chip (axon tunnel, ~31 ms fixed
-round-trip included in every timing):
-    N=M=131072:  0.126 s  (1.4e11 pairs/s)
-    N=M=262144:  0.323 s  (2.1e11 pairs/s)
-    N=M=524288:  1.096 s  (2.5e11 pairs/s)
-    N=M=10^6:    4.042 s  (2.5e11 pairs/s)  — 1e12 kernel pairs, exact f32
+Measured 2026-08-18 on one TPU v5e chip (axon tunnel, ~31 ms fixed
+round-trip included in every timing), after the exp2/negated-form/
+ones-column-elision/block-retune pass over the Pallas engine:
+    N=M=262144:  0.216 s  (3.2e11 pairs/s)
+    N=M=524288:  0.683 s  (4.0e11 pairs/s, 3.2 TFLOP/s)  — exact f32
+(previous engine: 1.096 s at N=M=524288, i.e. +60%).
 """
 
 from __future__ import annotations

@@ -26,15 +26,38 @@ Each kernel is described by a `KernelSpec`:
   (inverse-distance), which fall back to direct sum normalization.
 - `zero_diagonal`: whether k(x, x) must be zeroed on the matrix diagonal
   (only "inverse-distance").
+
+Engine fast path (used by the tiled matvec engines only; dense consumers
+keep the canonical `fn`/`log_fn`):
+
+The TPU VPU evaluates `exp2` natively; `exp` costs an extra multiply per
+element, and for exp-family kernels that multiply (by log2 e) can be folded
+into the *points* before the bilinear form is ever computed: scaling both
+point sets by sqrt(log2 e) scales squared distances and dot products by
+log2 e, so the per-pair transcendental collapses to a bare `exp2`.
+Similarly the sign of the form ("-|x-y|^2") is free inside the form
+accumulation (fused negate-multiply-add / negated augmentation factors)
+but would cost one VPU pass as a separate negation.  Each spec therefore
+also carries:
+
+- `point_scale`: engines multiply the (float32) points by this first.
+- `form_sign`: engines produce `form_sign * point_scale^2 * true_form`.
+- `scaled_fn`: kernel values from that signed, scaled form.
+- `scaled_log2_fn`: BASE-2 logits from that form (flash accumulation runs
+  entirely in base 2: `exp2` rescales, and the merge algebra in
+  kmb_tpu.parallel.sharded matches).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+LOG2E = math.log2(math.e)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +67,19 @@ class KernelSpec:
     fn: Callable[[jnp.ndarray], jnp.ndarray]
     log_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]
     zero_diagonal: bool = False
+    # Engine fast path (see module docstring); defaults = canonical form.
+    point_scale: float = 1.0
+    form_sign: float = 1.0
+    scaled_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    scaled_log2_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+
+    def __post_init__(self):
+        if self.scaled_fn is None:
+            object.__setattr__(self, "scaled_fn", self.fn)
+        if self.scaled_log2_fn is None and self.log_fn is not None:
+            log_fn = self.log_fn
+            object.__setattr__(
+                self, "scaled_log2_fn", lambda g: log_fn(g) * LOG2E)
 
 
 def _gaussian(sqd):
@@ -77,12 +113,24 @@ def _exponential_log(dot):
     return dot
 
 
+def _neg_sqrt(g):
+    return -jnp.sqrt(jnp.maximum(g, 0.0))
+
+
 KERNELS = {
+    # Engine form: g = -log2(e) * |x - y|^2  =>  k = 2^g.
     "gaussian": KernelSpec(
-        name="gaussian", on="sqdist", fn=_gaussian, log_fn=_gaussian_log
+        name="gaussian", on="sqdist", fn=_gaussian, log_fn=_gaussian_log,
+        point_scale=math.sqrt(LOG2E), form_sign=-1.0,
+        scaled_fn=jnp.exp2, scaled_log2_fn=lambda g: g,
     ),
+    # Engine form: g = (log2(e) * |x - y|)^2  =>  k = 2^(-sqrt(g)).
     "absolute-exponential": KernelSpec(
-        name="absolute-exponential", on="sqdist", fn=_abs_exp, log_fn=_abs_exp_log
+        name="absolute-exponential", on="sqdist", fn=_abs_exp,
+        log_fn=_abs_exp_log,
+        point_scale=LOG2E,
+        scaled_fn=lambda g: jnp.exp2(_neg_sqrt(g)),
+        scaled_log2_fn=_neg_sqrt,
     ),
     "inverse-distance": KernelSpec(
         name="inverse-distance",
@@ -91,8 +139,12 @@ KERNELS = {
         log_fn=None,
         zero_diagonal=True,
     ),
+    # Engine form: g = log2(e) * <x, y>  =>  k = 2^g.
     "exponential": KernelSpec(
-        name="exponential", on="dot", fn=_exponential, log_fn=_exponential_log
+        name="exponential", on="dot", fn=_exponential,
+        log_fn=_exponential_log,
+        point_scale=math.sqrt(LOG2E),
+        scaled_fn=jnp.exp2, scaled_log2_fn=lambda g: g,
     ),
 }
 

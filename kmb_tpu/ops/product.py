@@ -72,13 +72,19 @@ def _pad_axis(arr, target: int, axis: int):
     return jnp.pad(arr, widths)
 
 
-def _augment_target(points, on: str, dtype):
-    """Left factor of the bilinear form: [-2x, |x|^2, 1] for sqdist."""
+def _augment_target(points, on: str, dtype, sign: float = 1.0):
+    """Left factor of the bilinear form: [-2x, |x|^2, 1] for sqdist.
+
+    With sign=-1 the factors are negated ([2x, -|x|^2, -1]) so the MXU
+    emits -|x-y|^2 directly — the negation that exp-family kernels need
+    is free here instead of one extra VPU pass over every tile.
+    """
     if on == "dot":
         return points.astype(dtype)
     sq = jnp.sum(points * points, axis=1, keepdims=True)
     ones = jnp.ones_like(sq)
-    return jnp.concatenate([(-2.0 * points), sq, ones], axis=1).astype(dtype)
+    return (sign * jnp.concatenate([(-2.0 * points), sq, ones], axis=1)
+            ).astype(dtype)
 
 
 def _augment_source(points, on: str, dtype):
@@ -90,16 +96,20 @@ def _augment_source(points, on: str, dtype):
     return jnp.concatenate([points, ones, sq], axis=1).astype(dtype)
 
 
-def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision):
+def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision,
+               sign: float = 1.0):
     """(bN, bM) bilinear form tile: squared distances or dot products.
 
     form_mode "mxu": x_ref/y_ref hold augmented factors (bn, d_pad) /
     (bm, d_pad); one MXU matmul yields the whole form (see module
-    docstring).  form_mode "vpu": for small D the 128-lane padding makes
+    docstring; `sign` is folded into the augmentation upstream).
+    form_mode "vpu": for small D the 128-lane padding makes
     the MXU matmul ~d_pad/d times wasteful, so instead x_ref holds raw
     points (bn, d8) and y_ref the TRANSPOSED points (d8, bm), and the form
     is an unrolled VPU broadcast loop over the true D — exact f32, zero
-    MXU cost, freeing the MXU for the K @ b accumulation.
+    MXU cost, freeing the MXU for the K @ b accumulation.  With sign=-1
+    the accumulation is a chain of fused negate-multiply-adds, so the
+    negation exp-family kernels need is free.
     """
     if form_mode == "mxu":
         return jax.lax.dot_general(
@@ -117,7 +127,10 @@ def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision):
         else:
             diff = xk - yk
             term = diff * diff
-        form = term if form is None else form + term
+        if sign < 0:
+            form = -term if form is None else form - term
+        else:
+            form = term if form is None else form + term
     return form
 
 
@@ -180,8 +193,8 @@ def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
-                      mxu_precision=mxu_precision)
-    k_tile = spec.fn(gram)
+                      mxu_precision=mxu_precision, sign=spec.form_sign)
+    k_tile = spec.scaled_fn(gram)
     if needs_mask:
         mask = _tile_masks(
             i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
@@ -209,9 +222,13 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
     Maintains per-row running max `m`, normalizer `l` and the rescaled
     accumulator, so the normalized product
         out_i = sum_j exp(L_ij) b_j / sum_j exp(L_ij)
-    is computed stably in one pass over j, never materializing K.  Emits
-    the raw (acc, m, l) state; finalization (acc / l) happens outside so
-    states from different source shards can still be merged exactly.
+    is computed stably in one pass over j, never materializing K.  The
+    whole recurrence runs in BASE 2 (logits from `scaled_log2_fn`,
+    rescales via `exp2` — the TPU-native transcendental; the division
+    acc / l is base-invariant).  Emits the raw (acc, m, l) state, with m
+    a base-2 logit; finalization (acc / l) happens outside so states from
+    different source shards can still be merged exactly (the exp2-based
+    merge algebra lives in kmb_tpu.parallel.sharded).
     """
     i, j = pl.program_id(0), pl.program_id(1)
 
@@ -222,8 +239,8 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
 
     gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
-                      mxu_precision=mxu_precision)
-    logits = spec.log_fn(gram)
+                      mxu_precision=mxu_precision, sign=spec.form_sign)
+    logits = spec.scaled_log2_fn(gram)
     if needs_mask:
         mask = _tile_masks(
             i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
@@ -232,8 +249,8 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
 
     m_prev = m_ref[:]                                   # (bN, 1)
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)                     # (bN, 1)
-    p = jnp.exp(logits - m_new)                         # (bN, bM)
+    alpha = jnp.exp2(m_prev - m_new)                    # (bN, 1)
+    p = jnp.exp2(logits - m_new)                        # (bN, bM)
     if needs_mask:
         p = jnp.where(mask, p, 0.0)
 
@@ -251,13 +268,20 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
 
 
 def default_blocks(d: int, m: int, n: int):
-    """Pick tile sizes that keep the working set well under VMEM (~16MB)."""
-    if d <= 32:
-        block_n, block_m = 256, 1024
+    """Pick tile sizes that keep the working set well under VMEM (~16MB).
+
+    Swept on a v5e chip (N=M=262144, f32): the VPU-form regime (small D)
+    peaks at (1024, 2048) — 2.7e11 pairs/s vs 2.2e11 at (256, 1024) —
+    for the direct, masked, and flash paths alike; the MXU-form regime
+    peaks at (1024, 512) for D≈64 and must shrink to (512, 512) by D≈784
+    (larger tiles fail VMEM allocation).
+    """
+    if d <= 8:
+        block_n, block_m = 1024, 2048
     elif d <= 256:
-        block_n, block_m = 256, 512
+        block_n, block_m = 1024, 512
     else:
-        block_n, block_m = 128, 512
+        block_n, block_m = 512, 512
     return min(block_n, _ceil_to(n, 8)), min(block_m, _ceil_to(m, LANE))
 
 
@@ -354,11 +378,20 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
 
     if density_estimation and normalize_rows and not deferred:
         return jnp.ones((n, 1), dtype=jnp.float32)
-    if b is None:
+    b_was_none = b is None
+    if b_was_none:
         b = jnp.ones((m, 1), dtype=jnp.float32)
     e = b.shape[1]
 
-    use_flash = normalize_rows and spec.log_fn is not None
+    use_flash = normalize_rows and spec.scaled_log2_fn is not None
+
+    # Row sums (the "den" output) only cost anything when someone reads
+    # them: sum normalization, density estimation with a caller-supplied
+    # signal (when b is implicit ones, num == den exactly), or a deferred
+    # state whose consumer merges (num, den) pairs across shards.
+    needs_den = (not use_flash) and (
+        deferred or normalize_rows
+        or (density_estimation and not b_was_none))
 
     bn, bm = default_blocks(d, m, n)
     if block_n is not None:
@@ -368,9 +401,19 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
 
     n_pad = _ceil_to(n, bn)
     m_pad = _ceil_to(m, bm)
-    # A ones column rides in b's lane padding at index e, yielding the
-    # kernel row sums from the same matmul:
-    e_pad = _ceil_to(e + 1, LANE)
+    # When row sums are needed, a ones column rides in b's lane padding at
+    # index e, yielding them from the same matmul:
+    n_cols = e + (1 if needs_den else 0)
+    e_pad = _ceil_to(n_cols, LANE)
+
+    xs = x.astype(jnp.float32)
+    ys = y.astype(jnp.float32)
+    if spec.point_scale != 1.0:
+        # Fold the base-2 conversion of exp-family kernels into the
+        # points: scaling both sets by sqrt(log2 e) scales the bilinear
+        # form by log2 e, collapsing per-pair exp to native exp2.
+        xs = xs * spec.point_scale
+        ys = ys * spec.point_scale
 
     # Form layout: for small D the MXU matmul would be ~LANE/d wasteful
     # (the contraction dim pads to 128 lanes), so feed raw + transposed
@@ -378,9 +421,8 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     form_mode = "vpu" if d <= 8 else "mxu"
     if form_mode == "vpu":
         d_pad = _ceil_to(d, 8)
-        x_in = _pad_axis(_pad_axis(x.astype(jnp.float32), d_pad, 1),
-                         n_pad, 0)
-        y_in = _pad_axis(_pad_axis(y.astype(jnp.float32), d_pad, 1),
+        x_in = _pad_axis(_pad_axis(xs, d_pad, 1), n_pad, 0)
+        y_in = _pad_axis(_pad_axis(ys, d_pad, 1),
                          m_pad, 0).T          # (d_pad, m_pad), lanes = m
         x_spec = pl.BlockSpec((bn, d_pad), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -388,8 +430,9 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                               memory_space=pltpu.VMEM)
     else:
         # Augment & pad; padded Gram rows/cols are masked in-tile.
-        x_in = _augment_target(x.astype(jnp.float32), spec.on, compute_dtype)
-        y_in = _augment_source(y.astype(jnp.float32), spec.on, compute_dtype)
+        x_in = _augment_target(xs, spec.on, compute_dtype,
+                               sign=spec.form_sign)
+        y_in = _augment_source(ys, spec.on, compute_dtype)
         d_pad = _ceil_to(x_in.shape[1], LANE)
         x_in = _pad_axis(_pad_axis(x_in, d_pad, 1), n_pad, 0)
         y_in = _pad_axis(_pad_axis(y_in, d_pad, 1), m_pad, 0)
@@ -400,21 +443,23 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     # Accumulation layout: for tiny E in f32, the (bm, 128)-lane MXU
     # matmul at HIGHEST is the dominant cost — per-column VPU lane
     # reductions with b transposed are cheaper and exactly f32.
-    n_cols = e + 1
     acc_mode = ("vpu" if n_cols <= 4 and compute_dtype == jnp.float32
                 else "mxu")
     if acc_mode == "vpu":
         e8 = _ceil_to(n_cols, 8)
-        ones_col = jnp.ones((m, 1), jnp.float32)
+        cols = [b.astype(jnp.float32)]
+        if needs_den:
+            cols.append(jnp.ones((m, 1), jnp.float32))
         b_pad = _pad_axis(_pad_axis(
-            jnp.concatenate([b.astype(jnp.float32), ones_col], axis=1),
+            jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0],
             e8, 1), m_pad, 0).T                      # (e8, m_pad)
         b_spec = pl.BlockSpec((e8, bm), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
     else:
         b_pad = _pad_axis(_pad_axis(b.astype(compute_dtype), e_pad, 1),
                           m_pad, 0)
-        b_pad = b_pad.at[:m, e].set(jnp.asarray(1.0, compute_dtype))
+        if needs_den:
+            b_pad = b_pad.at[:m, e].set(jnp.asarray(1.0, compute_dtype))
         b_spec = pl.BlockSpec((bm, e_pad), lambda i, j: (j, 0),
                               memory_space=pltpu.VMEM)
 
@@ -489,11 +534,13 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     )(offs, x_in, y_in, b_pad)
 
     num = out[:n, :e]
-    den = out[:n, e:e + 1]
+    den = out[:n, e:e + 1] if needs_den else None
     if deferred:
         return num, den
     if density_estimation and not normalize_rows:
-        return den
+        # With an implicit ones signal num IS the row sum (needs_den was
+        # elided); with an explicit signal the ones column carried it.
+        return den if needs_den else num
     if normalize_rows:
         return num / den
     return num
@@ -532,9 +579,11 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
     if b is None:
         b = jnp.ones((m, 1), dtype=jnp.float32)
 
-    x = x.astype(dtype)
-    y = y.astype(dtype)
+    scale = jnp.float32(spec.point_scale)
+    x = (x.astype(jnp.float32) * scale).astype(dtype)
+    y = (y.astype(jnp.float32) * scale).astype(dtype)
     b = b.astype(dtype)
+    sign = spec.form_sign
     matmul = functools.partial(jnp.matmul, precision=_mxu_precision(dtype))
     row_offset = jnp.asarray(row_offset, jnp.int32)
     col_offset = jnp.asarray(col_offset, jnp.int32)
@@ -546,18 +595,24 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
     x_padded = _pad_axis(x, n_pad, 0)
     starts = jnp.arange(n_pad // bn) * bn
 
-    use_flash = normalize_rows and spec.log_fn is not None
+    use_flash = normalize_rows and spec.scaled_log2_fn is not None
 
     def block(start):
         xb = jax.lax.dynamic_slice_in_dim(x_padded, start, bn, axis=0)
         if spec.on == "dot":
             form = matmul(xb, y.T).astype(jnp.float32)
+            if sign < 0:
+                form = -form
         else:
             xsq = jnp.sum(
                 xb.astype(jnp.float32) ** 2, axis=1, keepdims=True)
             ysq = jnp.sum(
                 y.astype(jnp.float32) ** 2, axis=1, keepdims=True).T
-            form = xsq + ysq - 2.0 * matmul(xb, y.T).astype(jnp.float32)
+            dots = matmul(xb, y.T).astype(jnp.float32)
+            if sign < 0:
+                form = 2.0 * dots - xsq - ysq
+            else:
+                form = xsq + ysq - 2.0 * dots
 
         cols = (col_offset
                 + jax.lax.broadcasted_iota(jnp.int32, (bn, m), 1))
@@ -569,15 +624,17 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
             invalid = jnp.logical_or(
                 invalid, (row_offset + local_rows) == cols)
         if use_flash:
-            logits = spec.log_fn(form)
+            # Base-2 logits, matching the Pallas engine: deferred flash
+            # states from either backend merge interchangeably.
+            logits = spec.scaled_log2_fn(form)
             logits = jnp.where(invalid, FLASH_NEG_INF, logits)
             mx = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - mx)
+            p = jnp.exp2(logits - mx)
             p = jnp.where(invalid, 0.0, p)
             acc = matmul(p.astype(dtype), b).astype(jnp.float32)
             l = jnp.sum(p, axis=1, keepdims=True)
             return acc, mx, l
-        k = spec.fn(form)
+        k = spec.scaled_fn(form)
         k = jnp.where(invalid, 0.0, k)
         num = matmul(k.astype(dtype), b).astype(jnp.float32)
         den = jnp.sum(k, axis=1, keepdims=True).astype(jnp.float32)

@@ -87,12 +87,17 @@ def _pad_rows(arr, target):
 # -- deferred-state algebra ---------------------------------------------------
 
 def merge_flash_states(a, b):
-    """Exactly merge two flash (acc, m, l) states over disjoint sources."""
+    """Exactly merge two flash (acc, m, l) states over disjoint sources.
+
+    States carry BASE-2 running-max logits (the engines run the online
+    softmax entirely in exp2 — see kmb_tpu.ops.product), so rescaling
+    uses exp2 here too.
+    """
     acc_a, m_a, l_a = a
     acc_b, m_b, l_b = b
     m_new = jnp.maximum(m_a, m_b)
-    sa = jnp.exp(m_a - m_new)
-    sb = jnp.exp(m_b - m_new)
+    sa = jnp.exp2(m_a - m_new)
+    sb = jnp.exp2(m_b - m_new)
     return acc_a * sa + acc_b * sb, m_new, l_a * sa + l_b * sb
 
 
@@ -100,7 +105,7 @@ def combine_flash_psum(state, axis_name):
     """Merge flash states across a mesh axis via pmax + psum."""
     acc, m, l = state
     m_g = jax.lax.pmax(m, axis_name)
-    scale = jnp.exp(m - m_g)
+    scale = jnp.exp2(m - m_g)
     return (jax.lax.psum(acc * scale, axis_name), m_g,
             jax.lax.psum(l * scale, axis_name))
 
