@@ -18,7 +18,7 @@ a_i = sum_j exp(-|x_i-y_j|^2) b_j.
 
 vs_baseline = our pairs/s ÷ baseline pairs/s  (higher is better).
 
-Environment knobs: KMB_BENCH_N (TPU-side N=M, default 524288),
+Environment knobs: KMB_BENCH_N (TPU-side N=M, default 1048576),
 KMB_BENCH_RUNS (default 3), KMB_BENCH_PRECISION (default float32),
 KMB_BENCH_BASELINE_N (default 10000).
 
@@ -27,6 +27,7 @@ round-trip included in every timing), after the exp2/negated-form/
 ones-column-elision/block-retune pass over the Pallas engine:
     N=M=262144:  0.216 s  (3.2e11 pairs/s)
     N=M=524288:  0.683 s  (4.0e11 pairs/s, 3.2 TFLOP/s)  — exact f32
+    N=M=2^20:    2.551 s  (4.3e11 pairs/s, 3.45 TFLOP/s) — 1.1e12 pairs
 (previous engine: 1.096 s at N=M=524288, i.e. +60%).
 """
 
@@ -93,7 +94,7 @@ def tpu_pairs_per_second(n, runs, precision):
 
 def main():
     runs = int(os.environ.get("KMB_BENCH_RUNS", "3"))
-    n_tpu = int(os.environ.get("KMB_BENCH_N", str(2**19)))
+    n_tpu = int(os.environ.get("KMB_BENCH_N", str(2**20)))
     n_base = int(os.environ.get("KMB_BENCH_BASELINE_N", "10000"))
     precision = os.environ.get("KMB_BENCH_PRECISION", "float32")
 

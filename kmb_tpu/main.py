@@ -45,12 +45,14 @@ def make_parser():
         default="product-sphere-D3-E1-M1000-N1000-inverse-distance",
         help="dataset to benchmark on")
     parser.add_argument(
-        "--hardware", metavar="TIER", default="CPU",
+        "--hardware", metavar="TIER", default=None,
         choices=["CPU", "GPU", "TPU"],
-        help="hardware tier of this machine (selects algos.yaml entries)")
+        help="hardware tier of this machine (selects algos.yaml entries); "
+             "default: TPU when a TPU backend is live, else CPU")
     parser.add_argument(
         "--definitions", metavar="FILE", default="algos.yaml",
-        help="load algorithm definitions from FILE")
+        help="load algorithm definitions from FILE (relative paths fall "
+             "back to the repo root when absent from the CWD)")
     parser.add_argument(
         "--algorithm", metavar="NAME", default=None,
         help="run only the named algorithm")
@@ -81,6 +83,9 @@ def make_parser():
 
 def plan_experiments(args):
     """Expand definitions and drop already-completed experiments."""
+    if args.hardware is None:
+        args.hardware = detect_hardware()
+    args.definitions = resolve_definitions_path(args.definitions)
     dataset_file, dimension = get_dataset(args.dataset)
     kernel = dataset_file.attrs["kernel"]
     task = dataset_file.attrs["task"]
@@ -140,10 +145,36 @@ def plan_experiments(args):
     return definitions
 
 
+def detect_hardware():
+    """Hardware tier of this machine: TPU if a TPU backend is live."""
+    try:
+        import jax
+        return "TPU" if jax.default_backend() == "tpu" else "CPU"
+    except Exception:
+        return "CPU"
+
+
+def resolve_definitions_path(path):
+    """Resolve a relative definitions file against CWD, then repo root.
+
+    The reference reads `algos.yaml` from the CWD only; resolving
+    against the repo root too lets `run.py` drive from anywhere (result
+    and data dirs stay CWD-relative by design).
+    """
+    if os.path.isabs(path) or os.path.exists(path):
+        return path
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidate = os.path.join(repo_root, path)
+    return candidate if os.path.exists(candidate) else path
+
+
 def main(argv=None):
     args = make_parser().parse_args(argv)
     if args.timeout == -1:
         args.timeout = None
+    if args.hardware is None:
+        args.hardware = detect_hardware()
+    args.definitions = resolve_definitions_path(args.definitions)
 
     if args.list_algorithms:
         list_algorithms(args.definitions)
