@@ -3,8 +3,12 @@
 The reference benchmarks exactly one approximate method — the external
 Htool C++ H-matrix library (htool.py:15-165), whose knobs
 (epsilon / maxblocksize / eta) trade accuracy for speed.  These wrappers
-provide that role with MXU-shaped compression instead of cluster trees
-(see ops/lowrank.py for the math):
+provide that role with MXU-shaped compression (see ops/lowrank.py and
+ops/blr.py for the math):
+
+- `BlrProduct(leaf=..., rank=..., eta=...)`: the direct H-matrix analog —
+  cluster tree, eta-admissibility, dense near-field, low-rank far-field —
+  re-shaped into equal-size blocks and batched MXU compression.
 
 - `NystromProduct(rank=...)`: landmark low-rank factorization.  `fit`
   (TIMED, like Htool's build_HMatrix, htool.py:106-132) selects landmarks,
@@ -30,6 +34,7 @@ import jax
 from kmb_tpu.utils import hard_fence
 from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
+from kmb_tpu.ops.blr import BLR_KERNELS, BlrOperator
 from kmb_tpu.ops.lowrank import (
     LOWRANK_KERNELS, feature_apply, nystrom_apply, nystrom_core,
     nystrom_factors, nystrom_solver_apply, nystrom_solver_build,
@@ -60,6 +65,91 @@ class _ApproxProduct(_TpuAlgorithm, BaseProduct):
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
+
+
+class BlrProduct(_ApproxProduct):
+    """Block-low-rank kernel product — the H-matrix (Htool) slot.
+
+    TPU-native re-design of Htool's cluster-tree + partialACA engine
+    (reference htool.py:15-165): balanced-bisection clustering into
+    equal-size leaves, Euclidean eta-admissibility, batched randomized
+    compression of far-field tiles on the MXU, near-field tiles recomputed
+    on the fly (see ops/blr.py).  Knobs mirror Htool's: `eta`
+    (admissibility), `leaf` (maxblocksize), `rank` (the accuracy knob,
+    replacing epsilon).  Unlike Nystrom/RFF, this supports the singular
+    "inverse-distance" kernel — near-field (including the zeroed
+    diagonal) stays exact.
+    """
+
+    def __init__(self, *, kernel, dimension, normalize_rows=False,
+                 precision="float32", leaf=256, rank=16, eta=2.0, seed=0):
+        super().__init__(kernel=kernel, dimension=dimension,
+                         normalize_rows=normalize_rows, precision=precision)
+        if kernel not in BLR_KERNELS:
+            raise NotImplementedError(
+                f"BlrProduct supports {BLR_KERNELS}, not {kernel!r}.")
+        self.leaf = int(leaf)
+        self.rank = int(rank)
+        self.eta = float(eta)
+        self.seed = int(seed)
+        self.name = f"BlrProduct(leaf={leaf}, rank={rank}, eta={eta})"
+
+    def _check_kernel(self, kernel):
+        pass  # validated against BLR_KERNELS in __init__
+
+    def prepare_data(self, *, source_points, target_points, same_points=False,
+                     density_estimation=False):
+        # Host-side copies: the cluster build runs in NumPy at fit time.
+        self.y_np = np.ascontiguousarray(source_points, dtype=np.float32)
+        self.x_np = (self.y_np if same_points else
+                     np.ascontiguousarray(target_points, dtype=np.float32))
+        self.same_points = same_points
+        self.density_estimation = density_estimation
+
+    def fit(self):
+        # TIMED: cluster tree + admissibility (host) and batched far-field
+        # compression (device) — the analog of Htool's build_clusters +
+        # build_HMatrix (htool.py:106-132).
+        self.op = BlrOperator(
+            self.x_np, self.y_np, kernel_name=self.kernel, leaf=self.leaf,
+            rank=self.rank, eta=self.eta, same_points=self.same_points,
+            seed=self.seed)
+        hard_fence((self.op.u, self.op.v))
+
+    def prepare_query(self, *, source_signal):
+        m = self.y_np.shape[0]
+        if self.density_estimation:
+            signal = np.ones((m, 1), dtype=np.float32)
+        else:
+            signal = np.asarray(source_signal, dtype=np.float32)
+            if self.normalize_rows:
+                # Ones-column trick (reference bruteforce.py:140-145): the
+                # denominator rides along as one extra signal column; pad
+                # rows are zeroed inside block_signal.
+                signal = np.concatenate(
+                    [signal, np.ones((m, 1), np.float32)], axis=1)
+        self.b_blocks = hard_fence(self.op.block_signal(signal))
+        self.e = (0 if self.density_estimation
+                  else np.asarray(source_signal).shape[1])
+
+    def query(self):
+        if self.density_estimation and self.normalize_rows:
+            # K @ 1 / K @ 1 == 1 exactly (reference bruteforce.py:134-138).
+            self.res = np.ones((self.op.n, 1), dtype=np.float32)
+            return
+        out = self.op.unblock(self.op.matvec_blocked(self.b_blocks))
+        if self.normalize_rows:
+            out = out[:, :self.e] / out[:, self.e:]
+        self.res = hard_fence(out)
+
+    def get_additional(self):
+        return {"rank": self.rank,
+                "near_pairs": int(self.op.plan.near_pairs.shape[0]),
+                "far_pairs": int(self.op.plan.far_pairs.shape[0]),
+                "compression": self.op.compression}
+
+    def done(self):
+        self.op = self.b_blocks = None
 
 
 class NystromProduct(_ApproxProduct):

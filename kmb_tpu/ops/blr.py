@@ -1,0 +1,357 @@
+"""Block-low-rank (BLR) kernel-matrix engine — the H-matrix slot, TPU-native.
+
+The reference's only compressed/hierarchical method is the external Htool
+C++ library (reference htool.py:15-165): a cluster tree over the points,
+an admissibility condition that splits the (N, M) kernel matrix into
+near-field blocks (kept dense) and far-field blocks (compressed to low
+rank by partialACA), and a compressed matvec.  A pointer-chasing block
+tree is the wrong shape for a TPU, so this module re-designs the idea
+around static shapes and batched MXU work:
+
+- **Clustering** (host, NumPy): recursive balanced bisection along the
+  widest axis produces 2^L geometrically tight clusters of identical size
+  `leaf` (short clusters are padded with duplicates of their own points —
+  pads carry zero signal and are masked/dropped).  This replaces Htool's
+  `build_clusters` (htool.py:106-115); equal-size leaves are what make
+  every downstream step a single batched einsum.
+- **Admissibility** (host): block pair (i, j) is far-field iff
+  `dist(c_i, c_j) >= (r_i + r_j) / eta` — Htool's eta knob
+  (htool.py:18-31) with the same monotonicity (bigger eta => more blocks
+  compressed).  The pair lists are computed once at build time, so the
+  jitted device programs see only static shapes.
+- **Compression** (device, TIMED in `fit` like Htool's `build_HMatrix`,
+  htool.py:117-132): every far-field (leaf, leaf) kernel tile is formed
+  on the fly in VMEM-sized batches and compressed with one shared
+  randomized range-finder: U = qr(K @ Omega), V = U^T K.  A fixed `rank`
+  replaces Htool's epsilon as the accuracy knob; the batched
+  tile-sketch-QR pipeline is pure MXU work, unlike sequential ACA pivot
+  chasing.  Only the (leaf, rank) / (rank, leaf) factors are stored.
+- **Matvec** (device): far-field is two batched skinny matmuls
+  `U @ (V @ b_j)`; near-field tiles are *recomputed* on the fly (kernel
+  tiles are MXU-cheap, and not storing them keeps HBM at
+  O(P_far * leaf * rank) instead of O(P_near * leaf^2)).  Per-target-block
+  contributions combine with one `segment_sum`.  Row normalization and
+  density estimation use the reference's ones-column trick
+  (bruteforce.py:140-150) with pad rows zeroed.
+
+Supported kernels match Htool's list (htool.py:9-12): the squared-distance
+family ("gaussian", "absolute-exponential", "inverse-distance").  The
+dot-product attention kernel is rejected — Euclidean admissibility does
+not bound its off-diagonal rank (the exact engines cover it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmb_tpu.ops.kernels import get_kernel
+
+BLR_KERNELS = ("gaussian", "absolute-exponential", "inverse-distance")
+
+_CHUNK = 64  # far/near pairs processed per lax.map step (bounds VMEM/HBM)
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning (cluster tree + admissibility)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlrPlan:
+    """Static geometry of one BLR operator (everything NumPy, host-side)."""
+
+    leaf: int
+    eta: float
+    same_points: bool
+    # Target-side blocking: gather_x[i, l] indexes the original x row whose
+    # point occupies slot l of block i (pads duplicate a real row);
+    # gid_x[i, l] is the original row id, or -1 for pads.
+    gather_x: np.ndarray  # (Bx, leaf) int32
+    gid_x: np.ndarray  # (Bx, leaf) int32
+    # out_pos[t] = flattened (block, slot) position of original target t.
+    out_pos: np.ndarray  # (n,) int64
+    gather_y: np.ndarray  # (By, leaf) int32
+    gid_y: np.ndarray  # (By, leaf) int32
+    near_pairs: np.ndarray  # (Pn, 2) int32 — dense (i, j) block pairs
+    far_pairs: np.ndarray  # (Pf, 2) int32 — compressed (i, j) block pairs
+
+    @property
+    def num_x_blocks(self) -> int:
+        return self.gather_x.shape[0]
+
+    @property
+    def num_y_blocks(self) -> int:
+        return self.gather_y.shape[0]
+
+
+def _cluster(points: np.ndarray, leaf: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Balanced bisection into 2^L equal blocks of `leaf` slots.
+
+    Returns (gather, gid), both (B, leaf) int32; pads duplicate the
+    block's own first point and carry gid == -1.
+    """
+    n = points.shape[0]
+    num_blocks = 1
+    while num_blocks * leaf < n:
+        num_blocks *= 2
+    blocks = [np.arange(n, dtype=np.int64)]
+    while len(blocks) < num_blocks:
+        nxt = []
+        for idx in blocks:
+            pts = points[idx]
+            axis = int(np.argmax(pts.max(axis=0) - pts.min(axis=0)))
+            order = np.argsort(pts[:, axis], kind="stable")
+            half = (len(idx) + 1) // 2
+            nxt.append(idx[order[:half]])
+            nxt.append(idx[order[half:]])
+        blocks = nxt
+    gather = np.zeros((num_blocks, leaf), dtype=np.int32)
+    gid = np.full((num_blocks, leaf), -1, dtype=np.int32)
+    for i, idx in enumerate(blocks):
+        k = len(idx)
+        assert 0 < k <= leaf
+        gather[i, :k] = idx
+        gid[i, :k] = idx
+        gather[i, k:] = idx[0]  # pads sit on a real point of this block
+    return gather, gid
+
+
+def _centers_radii(points, gather, gid):
+    """Per-block bounding centers and radii over the *real* points."""
+    pts = points[gather]  # (B, leaf, D); pads duplicate real points
+    del gid  # pads coincide with real points, so they never inflate radii
+    lo, hi = pts.min(axis=1), pts.max(axis=1)
+    centers = 0.5 * (lo + hi)
+    radii = 0.5 * np.linalg.norm(hi - lo, axis=1)
+    return centers, radii
+
+
+def build_plan(x: np.ndarray, y: np.ndarray, *, leaf: int = 256,
+               eta: float = 2.0, same_points: bool = False) -> BlrPlan:
+    """Cluster both clouds and split block pairs by admissibility."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    gather_x, gid_x = _cluster(x, leaf)
+    if same_points:
+        gather_y, gid_y = gather_x, gid_x
+    else:
+        gather_y, gid_y = _cluster(y, leaf)
+
+    cx, rx = _centers_radii(x, gather_x, gid_x)
+    cy, ry = _centers_radii(y, gather_y, gid_y)
+    dist = np.linalg.norm(cx[:, None, :] - cy[None, :, :], axis=2)
+    admissible = dist * eta >= (rx[:, None] + ry[None, :])
+
+    far = np.argwhere(admissible).astype(np.int32)
+    near = np.argwhere(~admissible).astype(np.int32)
+
+    out_pos = np.empty(x.shape[0], dtype=np.int64)
+    flat_gid = gid_x.reshape(-1)
+    real = flat_gid >= 0
+    out_pos[flat_gid[real]] = np.nonzero(real)[0]
+
+    return BlrPlan(leaf=leaf, eta=float(eta), same_points=bool(same_points),
+                   gather_x=gather_x, gid_x=gid_x, out_pos=out_pos,
+                   gather_y=gather_y, gid_y=gid_y,
+                   near_pairs=near, far_pairs=far)
+
+
+def _pad_pairs(pairs: np.ndarray, num_x_blocks: int, chunk: int = _CHUNK):
+    """Pad an (P, 2) pair list to a chunk multiple.
+
+    Dummy pairs use block (0, 0) but scatter into segment `num_x_blocks`,
+    an overflow bucket dropped after segment_sum.
+    """
+    p = pairs.shape[0]
+    padded = max(chunk, ((p + chunk - 1) // chunk) * chunk)
+    i = np.zeros(padded, dtype=np.int32)
+    j = np.zeros(padded, dtype=np.int32)
+    seg = np.full(padded, num_x_blocks, dtype=np.int32)
+    i[:p] = pairs[:, 0]
+    j[:p] = pairs[:, 1]
+    seg[:p] = pairs[:, 0]
+    return jnp.asarray(i), jnp.asarray(j), jnp.asarray(seg)
+
+
+# ---------------------------------------------------------------------------
+# Device-side tiles, compression, matvec
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tile(spec, xb, yb):
+    """(leaf, leaf) float32 kernel values for one block pair (unmasked)."""
+    scale = jnp.float32(spec.point_scale)
+    xb = xb * scale
+    yb = yb * scale
+    dots = xb @ yb.T
+    if spec.on == "dot":
+        form = -dots if spec.form_sign < 0 else dots
+    else:
+        xsq = jnp.sum(xb * xb, axis=1, keepdims=True)
+        ysq = jnp.sum(yb * yb, axis=1, keepdims=True).T
+        if spec.form_sign < 0:
+            form = 2.0 * dots - xsq - ysq
+        else:
+            form = xsq + ysq - 2.0 * dots
+    return spec.scaled_fn(form)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name", "rank", "seed"))
+def compress_far_blocks(xpts, ypts, far_i, far_j, *, kernel_name: str,
+                        rank: int, seed: int = 0):
+    """Randomized range-finder factors for every far-field block pair.
+
+    xpts/ypts: (B, leaf, D) blocked points.  Returns U (Pf, leaf, rank)
+    and V (Pf, rank, leaf) with K_ij ~= U_p V_p.  One Gaussian test matrix
+    is shared across blocks; each pair costs one (leaf, leaf) tile, one
+    (leaf, rank) sketch, one thin QR, one (rank, leaf) projection — all
+    batched over _CHUNK pairs so the MXU sees deep batched matmuls.
+    """
+    spec = get_kernel(kernel_name)
+    leaf = xpts.shape[1]
+    omega = jax.random.normal(jax.random.PRNGKey(seed), (leaf, rank),
+                              dtype=jnp.float32)
+
+    def one(i, j):
+        k_tile = _kernel_tile(spec, xpts[i], ypts[j])
+        q, _ = jnp.linalg.qr(k_tile @ omega)
+        return q, q.T @ k_tile
+
+    def chunk_fn(pair_chunk):
+        return jax.vmap(one)(pair_chunk[0], pair_chunk[1])
+
+    num_chunks = far_i.shape[0] // _CHUNK
+    u, v = jax.lax.map(
+        chunk_fn,
+        (far_i.reshape(num_chunks, _CHUNK), far_j.reshape(num_chunks, _CHUNK)),
+    )
+    return u.reshape(-1, leaf, rank), v.reshape(-1, rank, leaf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_name", "num_x_blocks", "mask_diagonal"))
+def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, u, v, b_blocks,
+                      near_i, near_j, near_seg, far_j, far_seg, *,
+                      kernel_name: str, num_x_blocks: int,
+                      mask_diagonal: bool):
+    """Blocked BLR matvec: returns (num_x_blocks*leaf, E) in blocked order.
+
+    b_blocks (By, leaf, E) must carry zeros in pad rows.  Near-field tiles
+    are recomputed and masked (pad columns, and the global diagonal when
+    `mask_diagonal`, matching reference bruteforce.py:8-15); far-field
+    contributions are U @ (V @ b_j).
+    """
+    spec = get_kernel(kernel_name)
+    leaf = xpts.shape[1]
+    e = b_blocks.shape[-1]
+
+    def near_one(i, j):
+        k_tile = _kernel_tile(spec, xpts[i], ypts[j])
+        valid = (gid_y[j] >= 0)[None, :]
+        if mask_diagonal:
+            valid = jnp.logical_and(
+                valid, gid_x[i][:, None] != gid_y[j][None, :])
+        k_tile = jnp.where(valid, k_tile, 0.0)
+        return k_tile @ b_blocks[j]
+
+    def near_chunk(chunk):
+        return jax.vmap(near_one)(chunk[0], chunk[1])
+
+    nc = near_i.shape[0] // _CHUNK
+    near_out = jax.lax.map(
+        near_chunk,
+        (near_i.reshape(nc, _CHUNK), near_j.reshape(nc, _CHUNK)),
+    ).reshape(-1, leaf, e)
+
+    far_out = jnp.einsum(
+        "plr,pre->ple", u, jnp.einsum("prl,ple->pre", v, b_blocks[far_j]),
+        precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.ops.segment_sum(
+        jnp.concatenate([near_out, far_out], axis=0),
+        jnp.concatenate([near_seg, far_seg], axis=0),
+        num_segments=num_x_blocks + 1)
+    return out[:num_x_blocks].reshape(num_x_blocks * leaf, e)
+
+
+# ---------------------------------------------------------------------------
+# High-level operator
+# ---------------------------------------------------------------------------
+
+
+class BlrOperator:
+    """Built BLR approximation of K(x, y): plan + device-side factors."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, *, kernel_name: str,
+                 leaf: int = 256, rank: int = 16, eta: float = 2.0,
+                 same_points: bool = False, seed: int = 0):
+        if kernel_name not in BLR_KERNELS:
+            raise NotImplementedError(
+                f"BLR supports {BLR_KERNELS}, not {kernel_name!r} "
+                "(Euclidean admissibility needs a squared-distance kernel).")
+        rank = int(min(rank, leaf))
+        self.kernel_name = kernel_name
+        self.rank = rank
+        self.plan = plan = build_plan(
+            np.asarray(x), np.asarray(y), leaf=leaf, eta=eta,
+            same_points=same_points)
+        xf = np.asarray(x, dtype=np.float32)
+        yf = xf if same_points else np.asarray(y, dtype=np.float32)
+        self.xpts = jax.device_put(jnp.asarray(xf[plan.gather_x]))
+        self.ypts = (self.xpts if same_points
+                     else jax.device_put(jnp.asarray(yf[plan.gather_y])))
+        self.gid_x = jax.device_put(jnp.asarray(plan.gid_x))
+        self.gid_y = (self.gid_x if same_points
+                      else jax.device_put(jnp.asarray(plan.gid_y)))
+        bx = plan.num_x_blocks
+        fi, fj, fseg = _pad_pairs(plan.far_pairs, bx)
+        ni, nj, nseg = _pad_pairs(plan.near_pairs, bx)
+        self._far = (fi, fj, fseg)
+        self._near = (ni, nj, nseg)
+        self.u, self.v = compress_far_blocks(
+            self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
+            rank=rank, seed=seed)
+        self.n = int(np.asarray(x).shape[0])
+        self.m = int(np.asarray(y).shape[0])
+
+    def block_signal(self, b) -> jnp.ndarray:
+        """(M, E) signal -> (By, leaf, E) blocked, pad rows zeroed."""
+        plan = self.plan
+        b = jnp.asarray(np.asarray(b, dtype=np.float32))
+        blocked = b[plan.gather_y]
+        return jnp.where(
+            jnp.asarray(plan.gid_y >= 0)[:, :, None], blocked, 0.0)
+
+    def matvec_blocked(self, b_blocks) -> jnp.ndarray:
+        """Blocked-signal matvec, result in blocked target order."""
+        ni, nj, nseg = self._near
+        fi, fj, fseg = self._far
+        return blr_matvec_blocks(
+            self.xpts, self.ypts, self.gid_x, self.gid_y, self.u, self.v,
+            b_blocks, ni, nj, nseg, fj, fseg,
+            kernel_name=self.kernel_name,
+            num_x_blocks=self.plan.num_x_blocks,
+            mask_diagonal=get_kernel(self.kernel_name).zero_diagonal)
+
+    def unblock(self, out_blocked) -> jnp.ndarray:
+        """Blocked target order -> original (N, E) order."""
+        return out_blocked[jnp.asarray(self.plan.out_pos)]
+
+    def matvec(self, b) -> jnp.ndarray:
+        return self.unblock(self.matvec_blocked(self.block_signal(b)))
+
+    @property
+    def compression(self) -> float:
+        """Dense-entry count over stored+recomputed entry count."""
+        leaf = self.plan.leaf
+        stored = (self.u.size + self.v.size
+                  + self.plan.near_pairs.shape[0] * leaf * leaf)
+        return float(self.n) * float(self.m) / float(max(stored, 1))

@@ -58,7 +58,7 @@ class TestDefinitions:
             dataset="product-cube-D3-E1-M1000-N1000-gaussian",
             task="product", hardware="TPU", kernel="gaussian")
         assert {d.algorithm for d in defs} == {
-            "tpu-product", "tpu-sharded-product",
+            "tpu-product", "tpu-sharded-product", "tpu-blr-product",
             "tpu-nystrom-product", "tpu-rff-product"}
 
     def test_attention_task_filter(self):
