@@ -31,6 +31,32 @@ from kmb_tpu.results import CustomJSONizer, store_result
 logger = logging.getLogger("kmb")
 
 
+def _maybe_profile(dataset, definition, run_index, runs):
+    """Opt-in profiler trace around the last (warmed) query repetition.
+
+    SURVEY.md §5 tracing row: the reference only wall-clocks fit/query
+    (reference runner.py:97-99, 138-140); here, setting KMB_PROFILE_DIR
+    additionally dumps a jax.profiler trace (XLA ops, TPU utilization,
+    HBM traffic — viewable in TensorBoard/Perfetto) for the final
+    repetition, which best-of-N guarantees is compile-free.
+
+    Returns a context manager and the trace directory (or None).
+    """
+    import contextlib
+
+    profile_root = os.environ.get("KMB_PROFILE_DIR")
+    if not profile_root or run_index != runs - 1:
+        return contextlib.nullcontext(), None
+    import re
+
+    import jax
+
+    slug = re.sub(r"[^A-Za-z0-9_.-]+", "_",
+                  f"{dataset}__{definition.algorithm}")
+    trace_dir = os.path.join(profile_root, slug)
+    return jax.profiler.trace(trace_dir), trace_dir
+
+
 def run(*, definition, dataset, runs):
     """Run one experiment `runs` times and store the best-time result."""
 
@@ -108,10 +134,15 @@ def run(*, definition, dataset, runs):
 
             query_time = float("inf")
             result = None
+            trace_dir = None
             for i in range(runs):
                 algo.prepare_query(**query_data)     # untimed staging
+                tracer, this_trace_dir = _maybe_profile(
+                    dataset, definition, i, runs)
+                trace_dir = this_trace_dir or trace_dir
                 start = time.perf_counter()
-                algo.query()                          # TIMED
+                with tracer:
+                    algo.query()                      # TIMED
                 this_query = multihost.max_across_hosts(
                     time.perf_counter() - start)
                 this_result = algo.get_result()       # untimed device->host
@@ -132,6 +163,8 @@ def run(*, definition, dataset, runs):
                 memory_footprint=mem_footprint,
                 **algo.get_additional(),
             )
+            if trace_dir is not None:
+                attrs["profile_trace"] = trace_dir
             if multihost.is_coordinator():
                 fn = store_result(
                     dataset=dataset,

@@ -150,6 +150,23 @@ class TestRunner:
             err = f["error"][:]
             assert np.sqrt(np.mean(err ** 2)) < 1e-3
 
+    def test_profiler_trace_hook(self, tmp_path, monkeypatch):
+        # SURVEY.md §5: KMB_PROFILE_DIR dumps a jax.profiler trace of the
+        # final (warmed) query repetition and records its path in attrs.
+        monkeypatch.setenv("KMB_PROFILE_DIR", str(tmp_path / "traces"))
+        dataset = "product-cube-D3-E1-M1000-N1000-gaussian"
+        definition = _dummy_definition()
+        run(definition=definition, dataset=dataset, runs=2)
+
+        props, _ = next(iter(load_all_results(dataset)))
+        trace_dir = props["profile_trace"]
+        assert trace_dir.startswith(str(tmp_path / "traces"))
+        traced_files = [
+            os.path.join(root, name)
+            for root, _, names in os.walk(trace_dir) for name in names
+        ]
+        assert traced_files, "profiler trace directory is empty"
+
     def test_solver_run_uses_source_signal_truth(self):
         dataset = "solver-cube-D3-E1-M1000-N1000-gaussian"
         definition = Definition(
