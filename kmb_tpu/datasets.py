@@ -33,6 +33,7 @@ Differences from the reference:
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 
@@ -40,6 +41,8 @@ import h5py
 import numpy as np
 
 from kmb_tpu.algorithms.bruteforce_numpy import blocked_kernel_product
+
+logger = logging.getLogger("kmb")
 
 
 def get_dataset_fn(dataset):
@@ -56,10 +59,13 @@ def get_dataset(which):
         url_base = os.environ.get("KMB_DATASET_URL")
         if url_base:
             from urllib.request import urlretrieve
+            url = f"{url_base}/{which}.hdf5"
             try:
-                urlretrieve(f"{url_base}/{which}.hdf5", fn)
-            except Exception:
-                pass
+                urlretrieve(url, fn)
+            except Exception as exc:
+                logger.warning(
+                    "Download of %s failed (%s); falling back to local "
+                    "generation.", url, exc)
         if not os.path.exists(fn):
             if which not in DATASETS:
                 raise KeyError(f"Unknown dataset {which!r}.")

@@ -81,14 +81,19 @@ def barrier():
     jax.block_until_ready(out)
 
 
+_MAX_SHARDING = None  # cached fleet-wide NamedSharding (devices are static)
+
+
 def max_across_hosts(value: float) -> float:
     """Fleet-wide maximum of a host-local scalar (e.g. a timing)."""
     if jax.process_count() <= 1:
         return float(value)
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    global _MAX_SHARDING
+    if _MAX_SHARDING is None:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    mesh = Mesh(np.asarray(jax.devices()), ("all",))
-    sharding = NamedSharding(mesh, P("all"))
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+        _MAX_SHARDING = NamedSharding(mesh, P("all"))
     local = np.full((jax.local_device_count(),), value, np.float32)
-    arr = jax.make_array_from_process_local_data(sharding, local)
+    arr = jax.make_array_from_process_local_data(_MAX_SHARDING, local)
     return float(jax.jit(jnp.max)(arr))

@@ -8,9 +8,7 @@ direction, and generate deterministic colors/linestyles per algorithm.
 
 from __future__ import annotations
 
-import itertools
-
-import numpy as np
+import colorsys
 
 from kmb_tpu.plotting.metrics import all_metrics
 
@@ -89,39 +87,47 @@ def compute_all_metrics(dataset, result_file, properties, recompute=False):
     return algo, algo_name, results
 
 
+_GOLDEN_RATIO_CONJUGATE = 0.6180339887498949
+
+
 def generate_n_colors(n):
-    """n well-separated RGB colors via greedy farthest-point sampling."""
-    vs = np.linspace(0.3, 0.9, 7)
-    colors = [(0.9, 0.4, 0.4, 1.0)]
+    """n distinct RGBA colors: golden-angle hue walk in HLS space.
 
-    def euclidean(a, b):
-        return sum((x - y) ** 2 for x, y in zip(a, b))
-
-    while len(colors) < n:
-        new_color = max(
-            itertools.product(vs, vs, vs),
-            key=lambda a: min(euclidean(a, b) for b in colors),
-        )
-        colors.append(new_color + (1.0,))
+    Successive hues step by the golden-ratio conjugate (maximally
+    low-discrepancy on the hue circle), while lightness and saturation
+    cycle through a small set of bands so neighbours in enumeration
+    order also differ in tone, not just hue.
+    """
+    lightness_bands = (0.45, 0.65, 0.35, 0.55)
+    saturation_bands = (0.80, 0.60)
+    hue = 0.11  # start in the orange range rather than pure red
+    colors = []
+    for i in range(n):
+        hue = (hue + _GOLDEN_RATIO_CONJUGATE) % 1.0
+        light = lightness_bands[i % len(lightness_bands)]
+        sat = saturation_bands[(i // len(lightness_bands))
+                               % len(saturation_bands)]
+        colors.append(colorsys.hls_to_rgb(hue, light, sat) + (1.0,))
     return colors
+
+
+_LINESTYLE_CYCLE = ("-", ":", "--", "-.")
+_MARKER_CYCLE = ("o", "s", "^", "D", "v", "x")
 
 
 def create_linestyles(unique_algorithms):
     """{algo: (color, faded_color, linestyle, marker)} deterministic map."""
-    colors = dict(zip(unique_algorithms,
-                      generate_n_colors(len(unique_algorithms))))
-    linestyles = dict(
-        (algo, ["--", "-.", "-", ":"][i % 4])
-        for i, algo in enumerate(unique_algorithms))
-    markerstyles = dict(
-        (algo, ["+", "<", "o", "*", "x"][i % 5])
-        for i, algo in enumerate(unique_algorithms))
-    faded = dict(
-        (algo, (r, g, b, 0.3)) for algo, (r, g, b, _) in colors.items())
-    return dict(
-        (algo,
-         (colors[algo], faded[algo], linestyles[algo], markerstyles[algo]))
-        for algo in unique_algorithms)
+    palette = generate_n_colors(len(unique_algorithms))
+    styles = {}
+    for i, algo in enumerate(unique_algorithms):
+        r, g, b, _ = palette[i]
+        styles[algo] = (
+            palette[i],
+            (r, g, b, 0.3),
+            _LINESTYLE_CYCLE[i % len(_LINESTYLE_CYCLE)],
+            _MARKER_CYCLE[i % len(_MARKER_CYCLE)],
+        )
+    return styles
 
 
 def get_up_down(metric):

@@ -31,7 +31,7 @@ from kmb_tpu.results import CustomJSONizer, store_result
 logger = logging.getLogger("kmb")
 
 
-def _maybe_profile(dataset, definition, run_index, runs):
+def _maybe_profile(dataset, definition, run_index, runs, group_pos):
     """Opt-in profiler trace around the last (warmed) query repetition.
 
     SURVEY.md §5 tracing row: the reference only wall-clocks fit/query
@@ -40,7 +40,9 @@ def _maybe_profile(dataset, definition, run_index, runs):
     HBM traffic — viewable in TensorBoard/Perfetto) for the final
     repetition, which best-of-N guarantees is compile-free.
 
-    Returns a context manager and the trace directory (or None).
+    Returns a context manager and the trace directory (or None).  The
+    slug includes the query-argument-group position so each group's
+    stored `profile_trace` attr points at its own trace.
     """
     import contextlib
 
@@ -52,7 +54,7 @@ def _maybe_profile(dataset, definition, run_index, runs):
     import jax
 
     slug = re.sub(r"[^A-Za-z0-9_.-]+", "_",
-                  f"{dataset}__{definition.algorithm}")
+                  f"{dataset}__{definition.algorithm}__g{group_pos}")
     trace_dir = os.path.join(profile_root, slug)
     return jax.profiler.trace(trace_dir), trace_dir
 
@@ -138,13 +140,15 @@ def run(*, definition, dataset, runs):
             for i in range(runs):
                 algo.prepare_query(**query_data)     # untimed staging
                 tracer, this_trace_dir = _maybe_profile(
-                    dataset, definition, i, runs)
+                    dataset, definition, i, runs, pos)
                 trace_dir = this_trace_dir or trace_dir
-                start = time.perf_counter()
+                # Timer lives INSIDE the tracer context: profiler
+                # start/stop and trace serialization stay untimed.
                 with tracer:
+                    start = time.perf_counter()
                     algo.query()                      # TIMED
-                this_query = multihost.max_across_hosts(
-                    time.perf_counter() - start)
+                    elapsed = time.perf_counter() - start
+                this_query = multihost.max_across_hosts(elapsed)
                 this_result = algo.get_result()       # untimed device->host
                 if this_query <= query_time:
                     query_time = this_query
@@ -189,6 +193,15 @@ def run_from_cmdline(argv=None):
     (`run_algorithm.py`), mirroring the reference's in-container CLI
     (runner.py:179-239).
     """
+    # Child processes have no logging.conf: without a handler, the
+    # `kmb` logger's INFO records (including "Stored result: ...") are
+    # dropped by Python's last-resort handler.  Configure stdout logging
+    # so the parent's live relay (`run_subprocess`) sees everything.
+    if not logging.getLogger().handlers and not logger.handlers:
+        logging.basicConfig(
+            level=logging.INFO, stream=sys.stdout,
+            format="%(levelname)s:%(name)s: %(message)s")
+
     parser = argparse.ArgumentParser(
         "NOTICE: you probably want run.py rather than this script.")
     parser.add_argument("--dataset", required=True, choices=DATASETS.keys())
@@ -233,17 +246,36 @@ def run_subprocess(*, definition, dataset, runs, timeout=None):
             for qag in definition.query_argument_groups]
 
     logger.info("Launching child: %s", " ".join(cmd))
+    # Stream child output live (the reference streams container logs on a
+    # daemon thread, reference runner.py:299-304) instead of dumping it
+    # post-mortem; a watchdog timer enforces the hard timeout.
+    import threading
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    timed_out = threading.Event()
+
+    def _watchdog():
+        timed_out.set()
+        proc.kill()
+
+    timer = (threading.Timer(timeout, _watchdog)
+             if timeout is not None else None)
+    if timer is not None:
+        timer.start()
     try:
-        proc = subprocess.run(
-            cmd, timeout=timeout, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
+        for line in proc.stdout:
+            logger.info("[child] %s", line.rstrip("\n"))
+        proc.wait()
+    finally:
+        if timer is not None:
+            timer.cancel()
+        proc.stdout.close()
+    if timed_out.is_set():
         logger.error("Experiment timed out after %ss: %s",
                      timeout, definition.algorithm)
         return False
-    for line in (proc.stdout or "").splitlines():
-        logger.info("[child] %s", line)
     if proc.returncode != 0:
-        logger.error("Child failed (exit %d):\n%s",
-                     proc.returncode, proc.stderr)
+        logger.error("Child failed (exit %d).", proc.returncode)
         return False
     return True
