@@ -87,6 +87,68 @@ def tflops_per_chip(dataset, result_file, properties, metrics_cache):
     return flops / max(float(properties["query_time"]), 1e-12) / chips / 1e12
 
 
+_scaling_baseline_cache = {}
+
+
+def _min_chip_rate(dataset, properties):
+    """Best per-chip pairs/s among sibling runs at the smallest chip count.
+
+    Siblings are the stored results for the same (dataset, algorithm),
+    scanned attrs-only from the results directory and cached per process.
+    The current run's own attrs are always considered too, so the metric
+    is well-defined even when this run is the only (or the first) one —
+    its efficiency is then 1.0 by construction.
+    """
+    key = (properties["dataset"], properties["algo"])
+    if key not in _scaling_baseline_cache:
+        import glob
+        import os
+
+        import h5py
+
+        from kmb_tpu.results import get_result_filename
+
+        n, m, _, _ = _problem_size(dataset)
+        candidates = []
+        root = os.path.join(
+            get_result_filename(properties["dataset"]), properties["algo"])
+        for path in glob.glob(os.path.join(root, "*.hdf5")):
+            try:
+                with h5py.File(path, "r") as f:
+                    attrs = dict(f.attrs)
+            except OSError:
+                continue  # e.g. the run currently open r+; added below
+            if "n_chips" in attrs and "query_time" in attrs:
+                candidates.append((int(attrs["n_chips"]),
+                                   float(attrs["query_time"])))
+        if "n_chips" in properties:
+            candidates.append((int(properties["n_chips"]),
+                               float(properties["query_time"])))
+        if not candidates:
+            raise KeyError("n_chips")
+        min_chips = min(c for c, _ in candidates)
+        best_time = min(t for c, t in candidates if c == min_chips)
+        _scaling_baseline_cache[key] = (
+            n * m / max(best_time, 1e-12) / min_chips)
+    return _scaling_baseline_cache[key]
+
+
+def scaling_efficiency(dataset, result_file, properties, metrics_cache):
+    """Throughput vs perfect linear scaling from the smallest-chip sibling.
+
+        efficiency(p) = pairs_per_second(p) / (p * per_chip_rate(p_min))
+
+    First-class version of the side tool scaling.py: computed from stored
+    results, so the >=80%-linear target (BASELINE.md) is checkable from
+    the result store and visible on the website.  Only defined for runs
+    that report `n_chips` (the sharded TPU algorithms); raising KeyError
+    makes compute_all_metrics skip it for everything else.
+    """
+    chips = float(properties["n_chips"])  # KeyError -> metric skipped
+    rate = pairs_per_second(dataset, result_file, properties, metrics_cache)
+    return rate / (chips * _min_chip_rate(dataset, properties))
+
+
 all_metrics = {
     "max-error": {
         "description": "Max error",
@@ -143,6 +205,11 @@ all_metrics = {
     "tflops-per-chip": {
         "description": "TFLOP/s per chip",
         "function": tflops_per_chip,
+        "worst": float("-inf"),
+    },
+    "scaling-efficiency": {
+        "description": "Scaling efficiency vs linear",
+        "function": scaling_efficiency,
         "worst": float("-inf"),
     },
 }

@@ -16,4 +16,5 @@ all_plot_variants = {
     "memory-footprint/max-error": ("memory-footprint", "max-error"),
     "memory-footprint/mean-error": ("memory-footprint", "mean-error"),
     "pairs-per-second/rmse": ("pairs-per-second", "rmse-error"),
+    "scaling-efficiency/rmse": ("scaling-efficiency", "rmse-error"),
 }

@@ -136,6 +136,57 @@ class TestStyles:
         assert "down" in label and "right" in label
 
 
+class TestScalingEfficiency:
+    """scaling-efficiency = pairs/s vs linear scaling from the smallest-
+    chip sibling run of the same (dataset, algorithm)."""
+
+    @pytest.fixture(autouse=True)
+    def fresh_cache(self):
+        from kmb_tpu.plotting import metrics as metrics_mod
+        metrics_mod._scaling_baseline_cache.clear()
+        yield
+        metrics_mod._scaling_baseline_cache.clear()
+
+    def test_vs_min_chip_sibling(self, tmp_path, monkeypatch):
+        import h5py
+
+        monkeypatch.setenv("KMB_RESULTS_DIR", str(tmp_path / "results"))
+        dataset = {"source_points": np.zeros((100, 3)),
+                   "target_signal": np.zeros((100, 1))}
+        root = tmp_path / "results" / "ds" / "tpu-sharded-product"
+        root.mkdir(parents=True)
+        # 1 chip: 8 s; 4 chips: 2.5 s -> efficiency 8 / (4 * 2.5) = 0.8.
+        for chips, qt in [(1, 8.0), (4, 2.5)]:
+            with h5py.File(root / f"run{chips}.hdf5", "w") as f:
+                f.attrs["dataset"] = "ds"
+                f.attrs["algo"] = "tpu-sharded-product"
+                f.attrs["n_chips"] = chips
+                f.attrs["query_time"] = qt
+        fn = all_metrics["scaling-efficiency"]["function"]
+        props4 = {"dataset": "ds", "algo": "tpu-sharded-product",
+                  "n_chips": 4, "query_time": 2.5}
+        assert fn(dataset, None, props4, None) == pytest.approx(0.8)
+        props1 = {"dataset": "ds", "algo": "tpu-sharded-product",
+                  "n_chips": 1, "query_time": 8.0}
+        assert fn(dataset, None, props1, None) == pytest.approx(1.0)
+
+    def test_skipped_without_n_chips(self):
+        fn = all_metrics["scaling-efficiency"]["function"]
+        with pytest.raises(KeyError):
+            fn(None, None,
+               {"dataset": "d", "algo": "a", "query_time": 1.0}, None)
+
+    def test_single_run_is_unity(self, tmp_path, monkeypatch):
+        # No stored siblings: the run's own attrs are the baseline.
+        monkeypatch.setenv("KMB_RESULTS_DIR", str(tmp_path / "results"))
+        dataset = {"source_points": np.zeros((10, 3)),
+                   "target_signal": np.zeros((10, 1))}
+        props = {"dataset": "lonely", "algo": "x", "n_chips": 2,
+                 "query_time": 3.0}
+        fn = all_metrics["scaling-efficiency"]["function"]
+        assert fn(dataset, None, props, None) == pytest.approx(1.0)
+
+
 class TestEndToEnd:
     """Run the real harness on a tiny dataset, then compute real metrics."""
 
@@ -174,10 +225,11 @@ class TestEndToEnd:
         assert errors[0] < 1e-12
         assert errors[1] > 1e-12
 
-        # compute_all_metrics covers every registered metric.
+        # compute_all_metrics covers every registered metric except
+        # scaling-efficiency, which only applies to runs with n_chips.
         for props, f in load_all_results(stored_results):
             algo, name, values = compute_all_metrics(dataset_f, f, props)
-            assert set(values) == set(all_metrics)
+            assert set(all_metrics) - set(values) == {"scaling-efficiency"}
 
         import plot as plot_cli
         out = str(tmp_path / "out.png")
