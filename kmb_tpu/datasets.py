@@ -313,15 +313,22 @@ KDE = {
                      density_estimation=True),
 }
 
-# TPU-scale configs (ground truth via the blocked float64 oracle):
+# TPU-scale configs (ground truth via the native float64 oracle; the
+# N=M=2^20 entry is the BASELINE.json north star — 1.1e12 exact kernel
+# pairs, a dense K would be 4 TB at f32):
 SCALE = {
     _name("product", "cube", 3, 1, n, n, "gaussian"):
         uniform_cube(n_points=n, task="product", kernel="gaussian")
-    for n in [50000, 131072]
+    for n in [50000, 131072, 1048576]
 }
 SCALE.update({
     _name("solver", "cube", 3, 1, 50000, 50000, "gaussian"):
         uniform_cube(n_points=50000, task="solver", kernel="gaussian"),
+    _name("solver", "cube", 3, 1, 131072, 131072, "gaussian"):
+        uniform_cube(n_points=131072, task="solver", kernel="gaussian"),
+    _name("attention", "cube", 3, 1, 262144, 262144, "exponential"):
+        uniform_cube(n_points=262144, task="attention",
+                     kernel="exponential", normalize_rows=True),
 })
 
 DATASETS = {
