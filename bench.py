@@ -1,34 +1,37 @@
-"""Headline benchmark: streaming Gaussian kernel matvec on TPU vs BLAS.
+"""Headline benchmark suite: the TPU engine vs host BLAS on all 3 tasks.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "suite": {...}}
 
-The benchmarked operation is the reference's headline computation
-(bruteforce.py:113-153): the exact Gaussian kernel product
-a_i = sum_j exp(-|x_i-y_j|^2) b_j.
+The headline metric (value/vs_baseline) is the reference's headline
+computation (reference bruteforce.py:113-153): the exact float32 Gaussian
+kernel product a_i = sum_j exp(-|x_i-y_j|^2) b_j at N = M = 2^20 on one
+chip — 1.1e12 exact kernel pairs, never materializing the 4 TB matrix K.
 
-- baseline: the reference's own engine semantics — float32 NumPy/BLAS
-  bruteforce (materialize K, then GEMM) — timed on this host's CPU at the
-  largest scale the reference benchmarks (N = M = 10^4, D=3, E=1,
-  reference datasets.py:383-427), expressed as kernel-pair evaluations
-  per second of query time.
-- value: the TPU-native streaming Pallas engine (never materializes K)
-  at TPU scale (N = M = 2^17 by default), same float32 query semantics,
-  on one chip, best-of-N timing with device fencing.
+`suite` carries one entry per benchmarked configuration, spanning the
+reference's three tasks (reference README.md:9-75) and both TPU compute
+regimes of the Pallas engine:
 
-vs_baseline = our pairs/s ÷ baseline pairs/s  (higher is better).
+- product, D=3 (VPU-form regime), f32 and bf16;
+- product, D=64 and D=784 (MXU-form regime, MNIST-scale), f32 and bf16;
+- attention (`exponential` kernel + row normalization) via the online-
+  softmax flash path, at N = M = 2^19;
+- solver: Nystrom-preconditioned matrix-free CG at M = 131072, reported
+  against plain (unpreconditioned) CG as its baseline.
 
-Environment knobs: KMB_BENCH_N (TPU-side N=M, default 1048576),
-KMB_BENCH_RUNS (default 3), KMB_BENCH_PRECISION (default float32),
-KMB_BENCH_BASELINE_N (default 10000).
+Baselines are the reference's own engine semantics — float32 NumPy/BLAS
+bruteforce (materialize K, then GEMM) — timed on this host's CPU at the
+largest scale the reference benchmarks (N = M = 10^4, reference
+datasets.py:383-427), expressed as kernel-pair evaluations per second.
+vs_baseline = our pairs/s / baseline pairs/s (higher is better); bf16
+entries share the f32 CPU baseline (the reference treats low precision as
+first-class Pareto entries, algos.yaml:157-162).
 
-Measured 2026-08-18 on one TPU v5e chip (axon tunnel, ~31 ms fixed
-round-trip included in every timing), after the exp2/negated-form/
-ones-column-elision/block-retune pass over the Pallas engine:
-    N=M=262144:  0.216 s  (3.2e11 pairs/s)
-    N=M=524288:  0.683 s  (4.0e11 pairs/s, 3.2 TFLOP/s)  — exact f32
-    N=M=2^20:    2.551 s  (4.3e11 pairs/s, 3.45 TFLOP/s) — 1.1e12 pairs
-(previous engine: 1.096 s at N=M=524288, i.e. +60%).
+The full suite dict is also written to BENCH_SUITE.json next to this
+file, and each entry is echoed as a human-readable stderr line.
+
+Environment knobs: KMB_BENCH_RUNS (default 3), KMB_BENCH_SUITE=0 to run
+only the headline config, KMB_BENCH_N to override the headline N=M.
 """
 
 from __future__ import annotations
@@ -40,6 +43,9 @@ import time
 
 import numpy as np
 
+D_BASE_N = int(os.environ.get("KMB_BENCH_BASELINE_N", "10000"))
+# ^ reference's largest benchmarked scale (CPU baseline), datasets.py:383-427
+
 
 def _best_of(fn, runs):
     best = float("inf")
@@ -50,72 +56,269 @@ def _best_of(fn, runs):
     return best
 
 
-def baseline_pairs_per_second(n, runs):
+def _pairs(n, m):
+    return float(n) * float(m)
+
+
+def _flops(n, m, d, e):
+    # 2NM(D+E): D MACs for the bilinear form + E MACs for the signal
+    # accumulation per kernel pair (transcendentals not counted).
+    return 2.0 * n * m * (d + e)
+
+
+# -- CPU baselines (reference BLAS semantics) --------------------------------
+
+def baseline_product(*, kernel, d, e, normalize_rows, runs):
     """Reference-semantics float32 BLAS bruteforce on the host CPU."""
     from kmb_tpu.algorithms.bruteforce_numpy import BruteForceProductBLAS
 
+    n = D_BASE_N
     rng = np.random.default_rng(0)
-    pts = rng.standard_normal((n, 3))
-    sig = rng.standard_normal((n, 1))
+    pts = rng.standard_normal((n, d)) / np.sqrt(d)
+    sig = rng.standard_normal((n, e))
     algo = BruteForceProductBLAS(
-        kernel="gaussian", dimension=3, precision="float32")
+        kernel=kernel, dimension=d, precision="float32",
+        normalize_rows=normalize_rows, fast_sqdists=True)
     algo.prepare_data(source_points=pts, target_points=pts,
                       same_points=True)
     algo.fit()
     algo.prepare_query(source_signal=sig)
     t = _best_of(algo.query, runs)
     algo.done()
-    return n * n / t, t
+    return _pairs(n, n) / t, t
 
 
-def tpu_pairs_per_second(n, runs, precision):
+# -- TPU engine configurations ------------------------------------------------
+
+def run_product(cfg, runs):
     import jax
     import jax.numpy as jnp
 
     from kmb_tpu.ops.product import kernel_matvec
-
     from kmb_tpu.utils import hard_fence
 
+    n, d, e = cfg["n"], cfg["d"], cfg["e"]
     rng = np.random.default_rng(0)
-    x = jax.device_put(
-        jnp.asarray(rng.standard_normal((n, 3)), jnp.float32))
-    b = jax.device_put(
-        jnp.asarray(rng.standard_normal((n, 1)), jnp.float32))
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((n, d)) / np.sqrt(d), jnp.float32))
+    b = jax.device_put(jnp.asarray(
+        rng.standard_normal((n, e)), jnp.float32))
     hard_fence((x, b))
 
     def step():
         hard_fence(kernel_matvec(
-            x, x, b, kernel_name="gaussian", precision=precision))
+            x, x, b, kernel_name=cfg["kernel"],
+            normalize_rows=cfg.get("normalize_rows", False),
+            precision=cfg["precision"]))
 
-    step()  # compile (excluded, matching best-of-N protocol)
+    step()  # compile (excluded, matching the best-of-N protocol)
     t = _best_of(step, runs)
-    return n * n / t, t
+    return {
+        "seconds": t,
+        "pairs_per_second": _pairs(n, n) / t,
+        "tflops": _flops(n, n, d, e) / t / 1e12,
+    }
+
+
+def run_solver(cfg, runs):
+    """Matrix-free CG at TPU scale; with precond_rank > 0, Nystrom-PCG
+    against plain CG as its baseline (vs_baseline = plain/pcg time).
+
+    Solves are timed once after a warm compile run (not best-of-N: a
+    single 600-iteration CG solve is tens of seconds, and run-to-run
+    variance is far below the preconditioner effect being measured).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from kmb_tpu.ops.product import kernel_matvec
+    from kmb_tpu.ops.solve import (NormalEquationsOp, SPD_KERNELS,
+                                   apply_nystrom_precond, cg_solve,
+                                   nystrom_preconditioner)
+    from kmb_tpu.utils import hard_fence
+    import functools
+
+    m, d, e = cfg["m"], cfg["d"], cfg["e"]
+    tol, rank = cfg["tol"], cfg["precond_rank"]
+    rng = np.random.default_rng(0)
+    y = jax.device_put(jnp.asarray(rng.random((m, d)), jnp.float32))
+    b_true = jax.device_put(jnp.asarray(
+        rng.standard_normal((m, e)), jnp.float32))
+    hard_fence((y, b_true))
+
+    def matvec(v):
+        return kernel_matvec(y, y, v, kernel_name=cfg["kernel"],
+                             precision=cfg["precision"])
+
+    rhs = hard_fence(matvec(b_true))  # consistent K b = rhs system
+
+    def solve(precond):
+        return hard_fence(cg_solve(
+            y, rhs, kernel_name=cfg["kernel"], precision=cfg["precision"],
+            tol=tol, max_iters=cfg["max_iters"], matvec=matvec,
+            precond=precond))
+
+    def timed_solve(precond):
+        solve(precond)  # compile + warm (best-of-N protocol, runs=1)
+        t0 = time.perf_counter()
+        _, iters, res = solve(precond)
+        return time.perf_counter() - t0, int(iters), float(res)
+
+    t_plain, plain_iters, plain_res = timed_solve(None)
+    entry = {
+        "plain_cg_seconds": t_plain,
+        "plain_cg_iterations": plain_iters,
+        "plain_cg_relative_residual": plain_res,
+    }
+    if rank == 0:
+        return {**entry, "seconds": t_plain, "iterations": plain_iters,
+                "relative_residual": plain_res}
+
+    # Nystrom preconditioner over the operator CG iterates on (K, or K^2
+    # via the normal equations for the indefinite inverse-distance
+    # kernel).  The build is the solver's `fit`, timed after a compile.
+    op = (matvec if cfg["kernel"] in SPD_KERNELS
+          else NormalEquationsOp(matvec))
+
+    def build():
+        return hard_fence(nystrom_preconditioner(op, m, rank))
+
+    u, lam = build()
+    t0 = time.perf_counter()
+    u, lam = build()
+    t_build = time.perf_counter() - t0
+    precond = functools.partial(apply_nystrom_precond, u, lam)
+
+    t_pcg, pcg_iters, pcg_res = timed_solve(precond)
+    return {
+        **entry,
+        "seconds": t_build + t_pcg,
+        "build_seconds": t_build,
+        "solve_seconds": t_pcg,
+        "iterations": pcg_iters,
+        "relative_residual": pcg_res,
+        "vs_baseline": t_plain / (t_build + t_pcg),
+        "baseline": "plain (unpreconditioned) CG, same engine and chip",
+    }
+
+
+SUITE = [
+    # VPU-form regime (small D): the headline config first.
+    dict(name="product-gaussian-D3-E1-f32", task="product",
+         kernel="gaussian", n=2**20, d=3, e=1, precision="float32"),
+    dict(name="product-gaussian-D3-E1-bf16", task="product",
+         kernel="gaussian", n=2**20, d=3, e=1, precision="bfloat16"),
+    # MXU-form regime (large D).
+    dict(name="product-gaussian-D64-E8-f32", task="product",
+         kernel="gaussian", n=2**19, d=64, e=8, precision="float32"),
+    dict(name="product-gaussian-D64-E8-bf16", task="product",
+         kernel="gaussian", n=2**19, d=64, e=8, precision="bfloat16"),
+    dict(name="product-gaussian-D784-E1-f32", task="product",
+         kernel="gaussian", n=2**17, d=784, e=1, precision="float32"),
+    dict(name="product-gaussian-D784-E1-bf16", task="product",
+         kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16"),
+    # Attention: online-softmax flash path (normalize_rows).
+    dict(name="attention-exponential-D3-E1-f32", task="attention",
+         kernel="exponential", n=2**19, d=3, e=1, precision="float32",
+         normalize_rows=True),
+    dict(name="attention-exponential-D64-E8-f32", task="attention",
+         kernel="exponential", n=2**19, d=64, e=8, precision="float32",
+         normalize_rows=True),
+    # Solvers: matrix-free CG at TPU scale.  The wide D=3 Gaussian system
+    # is well-conditioned at this density — plain CG converges in ~50
+    # iterations and any preconditioner build is pure overhead (measured:
+    # rank-512 Nystrom-PCG is 3x slower AND stalls at a worse residual) —
+    # so it runs unpreconditioned.  The slow-spectral-decay kernels are
+    # where the Nystrom preconditioner earns its keep: plain CG stalls
+    # above tolerance while PCG converges, faster.
+    dict(name="solver-cg-gaussian-D3-M131072-f32", task="solver",
+         kernel="gaussian", m=131072, d=3, e=1, precision="float32",
+         tol=1e-5, max_iters=600, precond_rank=0),
+    dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
+         kernel="absolute-exponential", m=131072, d=3, e=1,
+         precision="float32", tol=1e-5, max_iters=600, precond_rank=512),
+    dict(name="solver-cg-nystrom-invdist-D3-M65536-f32", task="solver",
+         kernel="inverse-distance", m=65536, d=3, e=1,
+         precision="float32", tol=1e-4, max_iters=600, precond_rank=512),
+]
 
 
 def main():
     runs = int(os.environ.get("KMB_BENCH_RUNS", "3"))
-    n_tpu = int(os.environ.get("KMB_BENCH_N", str(2**20)))
-    n_base = int(os.environ.get("KMB_BENCH_BASELINE_N", "10000"))
-    precision = os.environ.get("KMB_BENCH_PRECISION", "float32")
+    full_suite = os.environ.get("KMB_BENCH_SUITE", "1") != "0"
+    n_override = os.environ.get("KMB_BENCH_N")
 
     import jax
     backend = jax.default_backend()
 
-    base_pps, base_t = baseline_pairs_per_second(n_base, runs)
-    print(f"# baseline: BLAS f32 N=M={n_base}: {base_t:.4f}s "
-          f"({base_pps:.3e} pairs/s)", file=sys.stderr)
+    suite_cfgs = SUITE if full_suite else SUITE[:1]
+    if n_override:
+        suite_cfgs = [dict(suite_cfgs[0], n=int(n_override))
+                      ] + list(suite_cfgs[1:])
 
-    pps, t = tpu_pairs_per_second(n_tpu, runs, precision)
-    d_plus_e = 3 + 1
-    tflops = 2.0 * n_tpu * n_tpu * d_plus_e / t / 1e12
-    print(f"# engine [{backend}] {precision} N=M={n_tpu}: {t:.4f}s "
-          f"({pps:.3e} pairs/s, {tflops:.2f} TFLOP/s)", file=sys.stderr)
+    # CPU baselines, one per distinct (kernel, d, e, normalize) among the
+    # product/attention entries.
+    baselines = {}
+    for cfg in suite_cfgs:
+        if cfg["task"] == "solver":
+            continue
+        key = (cfg["kernel"], cfg["d"], cfg["e"],
+               cfg.get("normalize_rows", False))
+        if key in baselines:
+            continue
+        # Baselines are ~10ms CPU measurements with high run-to-run
+        # variance; best-of-max(runs, 8) keeps the ratios stable.
+        pps, t = baseline_product(
+            kernel=cfg["kernel"], d=cfg["d"], e=cfg["e"],
+            normalize_rows=cfg.get("normalize_rows", False),
+            runs=max(runs, 8))
+        baselines[key] = pps
+        print(f"# baseline: BLAS f32 {cfg['kernel']} D={cfg['d']} "
+              f"E={cfg['e']} N=M={D_BASE_N}: {t:.4f}s ({pps:.3e} pairs/s)",
+              file=sys.stderr)
 
+    suite = {}
+    for cfg in suite_cfgs:
+        if cfg["task"] == "solver":
+            entry = run_solver(cfg, runs)
+            note = ("" if "vs_baseline" not in entry else
+                    f"; plain CG {entry['plain_cg_seconds']:.4f}s/"
+                    f"{entry['plain_cg_iterations']} iters at res "
+                    f"{entry['plain_cg_relative_residual']:.2e} -> "
+                    f"{entry['vs_baseline']:.2f}x")
+            print(f"# {cfg['name']} [{backend}]: {entry['seconds']:.4f}s "
+                  f"({entry['iterations']} iters, res "
+                  f"{entry['relative_residual']:.2e}{note})",
+                  file=sys.stderr)
+        else:
+            entry = run_product(cfg, runs)
+            key = (cfg["kernel"], cfg["d"], cfg["e"],
+                   cfg.get("normalize_rows", False))
+            entry["vs_baseline"] = entry["pairs_per_second"] / baselines[key]
+            entry["baseline"] = (f"host BLAS f32 bruteforce at N=M={D_BASE_N}"
+                                 f" (pairs/s ratio)")
+            print(f"# {cfg['name']} [{backend}]: {entry['seconds']:.4f}s "
+                  f"({entry['pairs_per_second']:.3e} pairs/s, "
+                  f"{entry['tflops']:.2f} TFLOP/s, "
+                  f"{entry['vs_baseline']:.1f}x baseline)", file=sys.stderr)
+        suite[cfg["name"]] = {**{k: v for k, v in cfg.items()
+                                 if k != "name"}, **entry}
+
+    out_path = os.environ.get("KMB_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SUITE.json")
+    with open(out_path, "w") as f:
+        json.dump({"backend": backend, "runs": runs, "suite": suite}, f,
+                  indent=2)
+
+    head = suite[suite_cfgs[0]["name"]]
     print(json.dumps({
         "metric": f"gaussian-matvec-pairs-per-second-{backend}",
-        "value": pps,
+        "value": head["pairs_per_second"],
         "unit": "kernel pairs/s",
-        "vs_baseline": pps / base_pps,
+        "vs_baseline": head["vs_baseline"],
+        "suite": {name: {k: entry[k] for k in
+                         ("seconds", "vs_baseline") if k in entry}
+                  for name, entry in suite.items()},
     }))
 
 

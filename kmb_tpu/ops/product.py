@@ -267,14 +267,20 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
         l_out[:] = l_ref[:]
 
 
-def default_blocks(d: int, m: int, n: int):
-    """Pick tile sizes that keep the working set well under VMEM (~16MB).
+def default_blocks(d: int, m: int, n: int, e: int = 1):
+    """Pick tile sizes that keep the working set under scoped VMEM (16MB).
 
     Swept on a v5e chip (N=M=262144, f32): the VPU-form regime (small D)
     peaks at (1024, 2048) — 2.7e11 pairs/s vs 2.2e11 at (256, 1024) —
     for the direct, masked, and flash paths alike; the MXU-form regime
     peaks at (1024, 512) for D≈64 and must shrink to (512, 512) by D≈784
     (larger tiles fail VMEM allocation).
+
+    Wide signals (e.g. the rank-wide sketch matvec of the Nystrom
+    preconditioner, solve.py:209) scale the b/out/acc tiles by E, so the
+    swept defaults are halved until the estimated working set — form
+    tile + double-buffered points and signal + accumulators — fits the
+    scoped-VMEM budget.
     """
     if d <= 8:
         block_n, block_m = 1024, 2048
@@ -282,6 +288,21 @@ def default_blocks(d: int, m: int, n: int):
         block_n, block_m = 1024, 512
     else:
         block_n, block_m = 512, 512
+
+    e_pad = _ceil_to(e + 1, LANE)      # worst case: den column rides in b
+    d_pad = _ceil_to(d + 2, 8 if d <= 8 else LANE)
+
+    def working_set(bn, bm):
+        return 4 * (bn * bm                # form/kernel tile (f32)
+                    + 2 * bm * e_pad       # double-buffered signal tile
+                    + 3 * bn * e_pad       # accumulator + buffered out
+                    + 2 * (bn + bm) * d_pad)   # double-buffered points
+
+    budget = 12_500_000  # leave headroom inside the 16MB scoped limit
+    while working_set(block_n, block_m) > budget and block_m > 512:
+        block_m //= 2
+    while working_set(block_n, block_m) > budget and block_n > 256:
+        block_n //= 2
     return min(block_n, _ceil_to(n, 8)), min(block_m, _ceil_to(m, LANE))
 
 
@@ -317,7 +338,7 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     md = spec.zero_diagonal if mask_diagonal is None else mask_diagonal
     n, d = x.shape
     m = y.shape[0]
-    bn, bm = default_blocks(d, m, n)
+    bn, bm = default_blocks(d, m, n, 1 if b is None else b.shape[1])
     bn = block_n if block_n is not None else bn
     bm = block_m if block_m is not None else bm
 
@@ -393,7 +414,7 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         deferred or normalize_rows
         or (density_estimation and not b_was_none))
 
-    bn, bm = default_blocks(d, m, n)
+    bn, bm = default_blocks(d, m, n, e)
     if block_n is not None:
         bn = block_n
     if block_m is not None:

@@ -146,10 +146,26 @@ class NormalEquationsOp:
 PCG_STALL_WINDOW = 60
 
 
+def _split_static(fn: Optional[Callable]):
+    """Split a callable into (static_fn, dynamic_args) for jit caching.
+
+    A `functools.partial` bound over device arrays — e.g. the Nystrom
+    preconditioner factors, (M, rank) at up to hundreds of MB — must not
+    be closed over as a *static* jit argument: tracing would embed the
+    arrays into the lowered module as dense constants (268 MB at
+    M=131072, rank=512, past the remote-compile payload cap on an axon
+    chip).  Splitting keeps the function object static (stable jit cache
+    key) while the bound arrays travel as ordinary runtime arguments.
+    """
+    if isinstance(fn, functools.partial) and not fn.keywords:
+        return fn.func, fn.args
+    return fn, ()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("matvec", "tol", "max_iters", "precond"))
 def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
-         precond: Optional[Callable] = None):
+         precond: Optional[Callable] = None, precond_args=()):
     """Multi-RHS preconditioned conjugate gradient.
 
     Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
@@ -166,7 +182,9 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     """
     rhs = rhs.astype(jnp.float32)
     if precond is None:
-        precond = lambda v: v  # noqa: E731
+        apply_precond = lambda v: v  # noqa: E731
+    else:
+        apply_precond = lambda v: precond(*precond_args, v)  # noqa: E731
     target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
 
     def cond(state):
@@ -182,7 +200,7 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
         alpha = jnp.where(denom != 0.0, rz_old / denom, 0.0)
         b = b + alpha * p
         r = r - alpha * kp
-        z = precond(r)
+        z = apply_precond(r)
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(rz_old != 0.0, rz_new / rz_old, 0.0)
         p = z + beta * p
@@ -195,7 +213,7 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
 
     b0 = jnp.zeros_like(rhs)
     r0 = rhs
-    z0 = precond(r0)
+    z0 = apply_precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=0)
     rs0 = jnp.sum(r0 * r0, axis=0)
     _, _, _, _, _, best_b, best_rs, _, iters = jax.lax.while_loop(
@@ -282,9 +300,11 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
     if matvec is None:
         matvec = _default_matvec(y, kernel_name=kernel_name,
                                  precision=precision)
+    precond_fn, precond_args = _split_static(precond)
     if kernel_name in SPD_KERNELS:
-        return _pcg(matvec, rhs, tol, max_iters, precond=precond)
+        return _pcg(matvec, rhs, tol, max_iters, precond=precond_fn,
+                    precond_args=precond_args)
 
     k_rhs = matvec(rhs.astype(jnp.float32))
     return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
-                precond=precond)
+                precond=precond_fn, precond_args=precond_args)

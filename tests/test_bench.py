@@ -5,19 +5,27 @@ import json
 import pytest
 
 
-def test_bench_prints_json_line(monkeypatch, capsys):
-    # Tiny sizes so the CPU fallback engine finishes quickly.
+def test_bench_prints_json_line(monkeypatch, capsys, tmp_path):
+    # Tiny sizes so the CPU fallback engine finishes quickly; headline
+    # config only (the full suite is for the real chip).
     monkeypatch.setenv("KMB_BENCH_N", "2048")
     monkeypatch.setenv("KMB_BENCH_BASELINE_N", "1024")
     monkeypatch.setenv("KMB_BENCH_RUNS", "1")
+    monkeypatch.setenv("KMB_BENCH_SUITE", "0")
+    monkeypatch.setenv("KMB_BENCH_OUT", str(tmp_path / "suite.json"))
     import bench
+    importlib = __import__("importlib")
+    importlib.reload(bench)  # D_BASE_N is read at import time
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # exactly ONE stdout JSON line (driver contract)
     payload = json.loads(out[-1])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline",
+                            "suite"}
     assert payload["value"] > 0
     assert payload["vs_baseline"] > 0
     assert "pairs" in payload["unit"]
+    assert "product-gaussian-D3-E1-f32" in payload["suite"]
 
 
 def test_hard_fence_passthrough():
