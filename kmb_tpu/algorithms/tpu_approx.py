@@ -75,14 +75,17 @@ class BlrProduct(_ApproxProduct):
     equal-size leaves, Euclidean eta-admissibility, batched randomized
     compression of far-field tiles on the MXU, near-field tiles recomputed
     on the fly (see ops/blr.py).  Knobs mirror Htool's: `eta`
-    (admissibility), `leaf` (maxblocksize), `rank` (the accuracy knob,
-    replacing epsilon).  Unlike Nystrom/RFF, this supports the singular
+    (admissibility), `leaf` (maxblocksize), and either a fixed `rank`
+    or Htool's adaptive `epsilon` (per-block rank from the sketch
+    spectrum, reference htool.py:18-74, with `rank` as the cap).
+    Unlike Nystrom/RFF, this supports the singular
     "inverse-distance" kernel — near-field (including the zeroed
     diagonal) stays exact.
     """
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
-                 precision="float32", leaf=256, rank=16, eta=2.0, seed=0):
+                 precision="float32", leaf=256, rank=16, eta=2.0,
+                 epsilon=None, seed=0):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         if kernel not in BLR_KERNELS:
@@ -91,8 +94,13 @@ class BlrProduct(_ApproxProduct):
         self.leaf = int(leaf)
         self.rank = int(rank)
         self.eta = float(eta)
+        self.epsilon = None if epsilon is None else float(epsilon)
         self.seed = int(seed)
-        self.name = f"BlrProduct(leaf={leaf}, rank={rank}, eta={eta})"
+        if self.epsilon is None:
+            self.name = f"BlrProduct(leaf={leaf}, rank={rank}, eta={eta})"
+        else:
+            self.name = (f"BlrProduct(leaf={leaf}, eps={epsilon}, "
+                         f"eta={eta})")
 
     def _check_kernel(self, kernel):
         pass  # validated against BLR_KERNELS in __init__
@@ -112,9 +120,9 @@ class BlrProduct(_ApproxProduct):
         # build_HMatrix (htool.py:106-132).
         self.op = BlrOperator(
             self.x_np, self.y_np, kernel_name=self.kernel, leaf=self.leaf,
-            rank=self.rank, eta=self.eta, same_points=self.same_points,
-            seed=self.seed)
-        hard_fence((self.op.u, self.op.v))
+            rank=self.rank, eta=self.eta, epsilon=self.epsilon,
+            same_points=self.same_points, seed=self.seed)
+        hard_fence(self.op.far_groups)
 
     def prepare_query(self, *, source_signal):
         m = self.y_np.shape[0]
@@ -143,9 +151,13 @@ class BlrProduct(_ApproxProduct):
         self.res = hard_fence(out)
 
     def get_additional(self):
+        import numpy as _np
+        ranks = self.op.block_ranks
         return {"rank": self.rank,
                 "near_pairs": int(self.op.plan.near_pairs.shape[0]),
                 "far_pairs": int(self.op.plan.far_pairs.shape[0]),
+                "mean_block_rank": float(_np.mean(ranks)) if ranks.size
+                else 0.0,
                 "compression": self.op.compression}
 
     def done(self):

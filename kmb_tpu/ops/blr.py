@@ -22,10 +22,17 @@ around static shapes and batched MXU work:
 - **Compression** (device, TIMED in `fit` like Htool's `build_HMatrix`,
   htool.py:117-132): every far-field (leaf, leaf) kernel tile is formed
   on the fly in VMEM-sized batches and compressed with one shared
-  randomized range-finder: U = qr(K @ Omega), V = U^T K.  A fixed `rank`
-  replaces Htool's epsilon as the accuracy knob; the batched
+  randomized range-finder: U = qr(K @ Omega), V = U^T K.  The batched
   tile-sketch-QR pipeline is pure MXU work, unlike sequential ACA pivot
   chasing.  Only the (leaf, rank) / (rank, leaf) factors are stored.
+  Two accuracy knobs, matching Htool's (htool.py:18-31):
+  * `rank` — fixed rank for every far block;
+  * `epsilon` — Htool's adaptive knob: factors are rotated into
+    per-block SVD form (batched eigh of the small V V^T Gram), each
+    block keeps the smallest rank whose spectral tail satisfies
+    ||K_p - U_p V_p||_F <= epsilon * ||K_p||_F, and blocks are bucketed
+    into power-of-two rank *tiers* so the matvec stays a few batched
+    static-shape einsums instead of per-block ragged work.
 - **Matvec** (device): far-field is two batched skinny matmuls
   `U @ (V @ b_j)`; near-field tiles are *recomputed* on the fly (kernel
   tiles are MXU-cheap, and not storing them keeps HBM at
@@ -235,11 +242,92 @@ def compress_far_blocks(xpts, ypts, far_i, far_j, *, kernel_name: str,
     return u.reshape(-1, leaf, rank), v.reshape(-1, rank, leaf)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_name", "rank", "seed"))
+def compress_far_blocks_svd(xpts, ypts, far_i, far_j, *, kernel_name: str,
+                            rank: int, seed: int = 0):
+    """Range-finder factors rotated into per-block SVD form.
+
+    Same batched sketch-QR as `compress_far_blocks`, followed by a
+    batched eigendecomposition of the small (rank, rank) Gram V V^T:
+    with V = W diag(s^2)^(1/2) ... the rotation U <- U W, V <- W^T V
+    orders each block's factor rows by decreasing singular value, so
+    truncating to the first r rows/columns IS the best rank-r
+    approximation the sketch supports.  Returns (U, V, sv2) with
+    sv2 (Pf, rank) the squared singular values, descending.
+    """
+    spec = get_kernel(kernel_name)
+    leaf = xpts.shape[1]
+    omega = jax.random.normal(jax.random.PRNGKey(seed), (leaf, rank),
+                              dtype=jnp.float32)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def one(i, j):
+        k_tile = _kernel_tile(spec, xpts[i], ypts[j])
+        q, _ = jnp.linalg.qr(k_tile @ omega)
+        v = mm(q.T, k_tile)
+        w, rot = jnp.linalg.eigh(mm(v, v.T))        # ascending
+        w = jnp.maximum(w[::-1], 0.0)               # descending sigma^2
+        rot = rot[:, ::-1]
+        return mm(q, rot), mm(rot.T, v), w
+
+    def chunk_fn(pair_chunk):
+        return jax.vmap(one)(pair_chunk[0], pair_chunk[1])
+
+    num_chunks = far_i.shape[0] // _CHUNK
+    u, v, sv2 = jax.lax.map(
+        chunk_fn,
+        (far_i.reshape(num_chunks, _CHUNK), far_j.reshape(num_chunks, _CHUNK)),
+    )
+    return (u.reshape(-1, leaf, rank), v.reshape(-1, rank, leaf),
+            sv2.reshape(-1, rank))
+
+
+def select_block_ranks(sv2: np.ndarray, epsilon: float) -> np.ndarray:
+    """Per-block rank from the epsilon criterion (host-side, NumPy).
+
+    Smallest r with ||K_p - (U_p V_p)[:r]||_F <= epsilon * ||K_p||_F,
+    estimated from the sketch spectrum: residual^2 after keeping r
+    components is total - cumsum(sv2)[r-1].  Blocks whose total energy
+    is ~0 get rank 0 (dropped from the operator entirely).
+    """
+    sv2 = np.asarray(sv2, dtype=np.float64)
+    total = sv2.sum(axis=1, keepdims=True)
+    captured_needed = (1.0 - float(epsilon) ** 2) * total
+    ranks = 1 + np.argmax(np.cumsum(sv2, axis=1) >= captured_needed - 1e-30,
+                          axis=1)
+    # argmax returns 0 when no prefix satisfies the bound -> full rank.
+    satisfied = (np.cumsum(sv2, axis=1) >= captured_needed - 1e-30).any(axis=1)
+    ranks = np.where(satisfied, ranks, sv2.shape[1])
+    return np.where(total[:, 0] > 0.0, ranks, 0).astype(np.int64)
+
+
+def _rank_tiers(ranks: np.ndarray, rank_max: int):
+    """Bucket per-block ranks into power-of-two tiers (static shapes).
+
+    Returns [(tier_rank, indices)] covering every block with rank >= 1;
+    rank-0 blocks are dropped (their best approximation is zero).
+    """
+    tiers = []
+    tier = 1
+    levels = []
+    while tier < rank_max:
+        levels.append(tier)
+        tier *= 2
+    levels.append(rank_max)
+    lo = 1
+    for level in levels:
+        idx = np.nonzero((ranks >= lo) & (ranks <= level))[0]
+        if idx.size:
+            tiers.append((level, idx.astype(np.int64)))
+        lo = level + 1
+    return tiers
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "num_x_blocks", "mask_diagonal"))
-def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, u, v, b_blocks,
-                      near_i, near_j, near_seg, far_j, far_seg, *,
+def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, b_blocks,
+                      near_i, near_j, near_seg, *,
                       kernel_name: str, num_x_blocks: int,
                       mask_diagonal: bool):
     """Blocked BLR matvec: returns (num_x_blocks*leaf, E) in blocked order.
@@ -247,7 +335,8 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, u, v, b_blocks,
     b_blocks (By, leaf, E) must carry zeros in pad rows.  Near-field tiles
     are recomputed and masked (pad columns, and the global diagonal when
     `mask_diagonal`, matching reference bruteforce.py:8-15); far-field
-    contributions are U @ (V @ b_j).
+    contributions are U @ (V @ b_j), one batched einsum per rank tier in
+    `far_groups` (a tuple of (u, v, far_j, far_seg) quadruples).
     """
     spec = get_kernel(kernel_name)
     leaf = xpts.shape[1]
@@ -271,13 +360,18 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, u, v, b_blocks,
         (near_i.reshape(nc, _CHUNK), near_j.reshape(nc, _CHUNK)),
     ).reshape(-1, leaf, e)
 
-    far_out = jnp.einsum(
-        "plr,pre->ple", u, jnp.einsum("prl,ple->pre", v, b_blocks[far_j]),
-        precision=jax.lax.Precision.HIGHEST)
+    outs = [near_out]
+    segs = [near_seg]
+    for u, v, far_j, far_seg in far_groups:
+        outs.append(jnp.einsum(
+            "plr,pre->ple", u,
+            jnp.einsum("prl,ple->pre", v, b_blocks[far_j]),
+            precision=jax.lax.Precision.HIGHEST))
+        segs.append(far_seg)
 
     out = jax.ops.segment_sum(
-        jnp.concatenate([near_out, far_out], axis=0),
-        jnp.concatenate([near_seg, far_seg], axis=0),
+        jnp.concatenate(outs, axis=0),
+        jnp.concatenate(segs, axis=0),
         num_segments=num_x_blocks + 1)
     return out[:num_x_blocks].reshape(num_x_blocks * leaf, e)
 
@@ -288,11 +382,19 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, u, v, b_blocks,
 
 
 class BlrOperator:
-    """Built BLR approximation of K(x, y): plan + device-side factors."""
+    """Built BLR approximation of K(x, y): plan + device-side factors.
+
+    `rank` alone: every far block stores fixed-rank factors.  With
+    `epsilon` set, `rank` becomes the per-block cap and each block keeps
+    the smallest rank meeting the epsilon Frobenius criterion, bucketed
+    into power-of-two tiers (Htool's adaptive epsilon knob,
+    reference htool.py:18-31).
+    """
 
     def __init__(self, x: np.ndarray, y: np.ndarray, *, kernel_name: str,
                  leaf: int = 256, rank: int = 16, eta: float = 2.0,
-                 same_points: bool = False, seed: int = 0):
+                 epsilon: float = None, same_points: bool = False,
+                 seed: int = 0):
         if kernel_name not in BLR_KERNELS:
             raise NotImplementedError(
                 f"BLR supports {BLR_KERNELS}, not {kernel_name!r} "
@@ -300,6 +402,7 @@ class BlrOperator:
         rank = int(min(rank, leaf))
         self.kernel_name = kernel_name
         self.rank = rank
+        self.epsilon = None if epsilon is None else float(epsilon)
         self.plan = plan = build_plan(
             np.asarray(x), np.asarray(y), leaf=leaf, eta=eta,
             same_points=same_points)
@@ -314,11 +417,29 @@ class BlrOperator:
         bx = plan.num_x_blocks
         fi, fj, fseg = _pad_pairs(plan.far_pairs, bx)
         ni, nj, nseg = _pad_pairs(plan.near_pairs, bx)
-        self._far = (fi, fj, fseg)
         self._near = (ni, nj, nseg)
-        self.u, self.v = compress_far_blocks(
-            self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
-            rank=rank, seed=seed)
+        pf = plan.far_pairs.shape[0]
+        if self.epsilon is None:
+            u, v = compress_far_blocks(
+                self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
+                rank=rank, seed=seed)
+            # Single tier; padded dummy pairs scatter into the overflow
+            # segment and are dropped by the matvec.
+            self.far_groups = ((u, v, fj, fseg),)
+            self.block_ranks = np.full(pf, rank, dtype=np.int64)
+        else:
+            u, v, sv2 = compress_far_blocks_svd(
+                self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
+                rank=rank, seed=seed)
+            self.block_ranks = select_block_ranks(
+                np.asarray(sv2[:pf]), self.epsilon)
+            groups = []
+            for tier_rank, idx in _rank_tiers(self.block_ranks, rank):
+                sel = jnp.asarray(idx)
+                groups.append((u[sel, :, :tier_rank],
+                               v[sel, :tier_rank, :],
+                               fj[sel], fseg[sel]))
+            self.far_groups = tuple(groups)
         self.n = int(np.asarray(x).shape[0])
         self.m = int(np.asarray(y).shape[0])
 
@@ -333,10 +454,9 @@ class BlrOperator:
     def matvec_blocked(self, b_blocks) -> jnp.ndarray:
         """Blocked-signal matvec, result in blocked target order."""
         ni, nj, nseg = self._near
-        fi, fj, fseg = self._far
         return blr_matvec_blocks(
-            self.xpts, self.ypts, self.gid_x, self.gid_y, self.u, self.v,
-            b_blocks, ni, nj, nseg, fj, fseg,
+            self.xpts, self.ypts, self.gid_x, self.gid_y, self.far_groups,
+            b_blocks, ni, nj, nseg,
             kernel_name=self.kernel_name,
             num_x_blocks=self.plan.num_x_blocks,
             mask_diagonal=get_kernel(self.kernel_name).zero_diagonal)
@@ -352,6 +472,6 @@ class BlrOperator:
     def compression(self) -> float:
         """Dense-entry count over stored+recomputed entry count."""
         leaf = self.plan.leaf
-        stored = (self.u.size + self.v.size
+        stored = (sum(u.size + v.size for u, v, _, _ in self.far_groups)
                   + self.plan.near_pairs.shape[0] * leaf * leaf)
         return float(self.n) * float(self.m) / float(max(stored, 1))

@@ -111,6 +111,61 @@ def test_blr_attention_wrapper(clouds):
     assert _rel_err(res, want) < 1e-2
 
 
+def test_adaptive_epsilon_error_tracks_knob(clouds):
+    # Htool's epsilon semantics: tighter epsilon => lower error, larger
+    # stored factors (reference htool.py:18-74).
+    x, y, b = clouds
+    want = _truth("gaussian", x, y, b)
+    errs, mean_ranks = [], []
+    for eps in (3e-1, 1e-2, 1e-5):
+        op = BlrOperator(x, y, kernel_name="gaussian", leaf=32, rank=32,
+                         eta=2.0, epsilon=eps)
+        errs.append(_rel_err(np.asarray(op.matvec(b)), want))
+        assert op.block_ranks.shape[0] == op.plan.far_pairs.shape[0]
+        mean_ranks.append(op.block_ranks.mean())
+    assert errs[0] > errs[1] > errs[2]
+    assert mean_ranks[0] < mean_ranks[2]
+    assert errs[2] < 1e-3  # tight epsilon: near range-finder-exact
+
+
+def test_adaptive_epsilon_matches_requested_tolerance(clouds):
+    x, y, b = clouds
+    want = _truth("gaussian", x, y, b)
+    op = BlrOperator(x, y, kernel_name="gaussian", leaf=32, rank=32,
+                     eta=2.0, epsilon=1e-3)
+    # Blockwise Frobenius control implies the matvec error lands within
+    # a small factor of epsilon (near-field is exact).
+    assert _rel_err(np.asarray(op.matvec(b)), want) < 5e-3
+
+
+def test_adaptive_tiers_have_static_shapes(clouds):
+    x, y, b = clouds
+    op = BlrOperator(x, y, kernel_name="gaussian", leaf=32, rank=32,
+                     eta=2.0, epsilon=1e-2)
+    assert len(op.far_groups) >= 1
+    seen = set()
+    for u, v, fj, fseg in op.far_groups:
+        tier = u.shape[2]
+        assert tier & (tier - 1) == 0 or tier == 32  # power of two or cap
+        assert v.shape[1] == tier
+        assert u.shape[0] == v.shape[0] == fj.shape[0] == fseg.shape[0]
+        assert tier not in seen
+        seen.add(tier)
+    # Tiers partition the real far pairs exactly (rank-0 blocks dropped).
+    kept = sum(g[2].shape[0] for g in op.far_groups)
+    assert kept == int((op.block_ranks >= 1).sum())
+
+
+def test_adaptive_wrapper_lifecycle(clouds):
+    x, y, b = clouds
+    algo = BlrProduct(kernel="gaussian", dimension=3, leaf=32, rank=32,
+                      eta=2.0, epsilon=1e-3)
+    res, extra = _run_lifecycle(algo, x, y, b)
+    assert _rel_err(res, _truth("gaussian", x, y, b)) < 5e-3
+    assert 0 < extra["mean_block_rank"] <= 32
+    assert "eps=0.001" in algo.name
+
+
 def test_blr_density_estimation(rng):
     y = rng.uniform(-1, 1, (130, 3)).astype(np.float32)
     algo = BlrProduct(kernel="gaussian", dimension=3, leaf=32, rank=32,
