@@ -244,6 +244,131 @@ def normal_cloud(n_points=10000, dimension=784, radius=1.0, kernel="gaussian",
     return write_to
 
 
+# -- real-data loaders (local raw files; this environment has no egress) -----
+
+def _raw_path(filename):
+    """Path of a raw input file under KMB_RAW_DIR (default: <data>/raw).
+
+    The reference ships MNIST/Fashion-MNIST/GloVe loaders that are stale
+    ann-benchmarks vestiges (wrong write_output signature, disabled in the
+    registry — reference datasets.py:289-377, 421-426).  These loaders are
+    functional but read from local files: place the raw downloads in
+    KMB_RAW_DIR and the dataset builds like any synthetic one.
+    """
+    raw_dir = os.environ.get(
+        "KMB_RAW_DIR",
+        os.path.join(os.environ.get("KMB_DATA_DIR", "data"), "raw"))
+    path = os.path.join(raw_dir, filename)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Raw data file {filename!r} not found in {raw_dir!r}. "
+            "This environment has no network egress: download it "
+            "elsewhere and drop it there (or set KMB_RAW_DIR).")
+    return path
+
+
+def load_idx(path):
+    """Vectorized IDX (MNIST-format) reader -> (N, prod(dims)) float64.
+
+    Replaces the reference's per-entry struct loop
+    (datasets.py:311-333) with one np.frombuffer pass; supports the
+    same type codes, gzip or plain files.
+    """
+    import gzip
+    import struct
+
+    opener = gzip.open if path.endswith(".gz") else open
+    dtypes = {0x08: np.uint8, 0x09: np.int8, 0x0B: ">i2", 0x0C: ">i4",
+              0x0D: ">f4", 0x0E: ">f8"}
+    with opener(path, "rb") as f:
+        zero, type_code, ndim = struct.unpack(">HBB", f.read(4))
+        if zero != 0 or type_code not in dtypes:
+            raise ValueError(f"{path!r} is not an IDX file.")
+        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=dtypes[type_code])
+    return data.astype(np.float64).reshape(dims[0], -1)
+
+
+def mnist(variant="mnist", kernel="gaussian", task="product",
+          normalize_rows=False, n_points=None, n_targets=None):
+    """Dataset writer: MNIST / Fashion-MNIST pixels (D=784).
+
+    Train images are the sources, test images the targets (the
+    reference's aspirational MNIST entry, README.md:103-110).  Pixels are
+    scaled to [0, 1] and then by 1/sqrt(D) so exponential-family kernels
+    stay in a sane numerical range at D=784 (same policy as
+    `normal_cloud`).
+    """
+    files = {
+        "mnist": ("train-images-idx3-ubyte.gz", "t10k-images-idx3-ubyte.gz"),
+        "fashion-mnist": ("fashion-train-images-idx3-ubyte.gz",
+                          "fashion-t10k-images-idx3-ubyte.gz"),
+    }[variant]
+
+    def write_to(filename):
+        src = load_idx(_raw_path(files[0]))[:n_points]
+        tgt = load_idx(_raw_path(files[1]))[:n_targets]
+        d = src.shape[1]
+        scale = 1.0 / (255.0 * math.sqrt(d))
+        rng = np.random.default_rng(d)
+        write_output(
+            filename=filename,
+            task=task,
+            kernel=kernel,
+            short_description=f"{variant} (M={len(src)}, N={len(tgt)})",
+            description=(f"{task.capitalize()} on {variant} pixels, "
+                         f"{kernel} (M={len(src)}, N={len(tgt)}, D={d})"),
+            source_points=src * scale,
+            target_points=tgt * scale,
+            source_signal=rng.standard_normal((len(src), 1)),
+            normalize_rows=normalize_rows,
+        )
+
+    return write_to
+
+
+def glove(dimension=25, kernel="exponential", task="attention",
+          normalize_rows=True, n_points=None, n_targets=10000):
+    """Dataset writer: GloVe twitter word embeddings (D in 25/50/100/200).
+
+    Reads `glove.twitter.27B.{d}d.txt` from KMB_RAW_DIR, L2-normalizes
+    each embedding (the reference's "angular" framing, README.md:108-110:
+    exp(<x,y>) on unit vectors), and splits the last `n_targets` rows off
+    as targets under a seeded shuffle.
+    """
+
+    def write_to(filename):
+        path = _raw_path(f"glove.twitter.27B.{dimension}d.txt")
+        rows = []
+        with open(path, "rb") as f:
+            for line in f:
+                parts = line.rstrip().split()
+                rows.append(np.asarray(parts[1:], dtype=np.float64))
+                if n_points is not None and len(rows) >= n_points + n_targets:
+                    break
+        pts = np.stack(rows)
+        pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(dimension)
+        pts = pts[rng.permutation(len(pts))]
+        src, tgt = pts[:-n_targets], pts[-n_targets:]
+        rng2 = np.random.default_rng(dimension + 1)
+        write_output(
+            filename=filename,
+            task=task,
+            kernel=kernel,
+            short_description=f"glove-{dimension} (M={len(src)})",
+            description=(f"{task.capitalize()} on unit GloVe-{dimension} "
+                         f"embeddings, {kernel} (M={len(src)}, "
+                         f"N={len(tgt)})"),
+            source_points=src,
+            target_points=tgt,
+            source_signal=rng2.standard_normal((len(src), 1)),
+            normalize_rows=normalize_rows,
+        )
+
+    return write_to
+
+
 # -- registry ----------------------------------------------------------------
 
 def _name(task, label, d, e, m, n, kernel):
@@ -331,6 +456,22 @@ SCALE.update({
                      kernel="exponential", normalize_rows=True),
 })
 
+# Real-data entries build lazily: machines without the raw downloads get
+# a clear FileNotFoundError from get_dataset at generation time instead
+# of an import-time failure (this environment has no network egress).
+REAL_DATA = {
+    _name("product", "mnist", 784, 1, 60000, 10000, "gaussian"):
+        mnist("mnist", kernel="gaussian", task="product"),
+    _name("product", "fashion-mnist", 784, 1, 60000, 10000, "gaussian"):
+        mnist("fashion-mnist", kernel="gaussian", task="product"),
+    _name("attention", "glove25", 25, 1, 1183514 - 10000, 10000,
+          "exponential"):
+        glove(dimension=25),
+    _name("attention", "glove100", 100, 1, 1183514 - 10000, 10000,
+          "exponential"):
+        glove(dimension=100),
+}
+
 DATASETS = {
     **PRODUCT_SPHERE,
     **SOLVER_SPHERE,
@@ -341,4 +482,5 @@ DATASETS = {
     **HIGH_D,
     **KDE,
     **SCALE,
+    **REAL_DATA,
 }

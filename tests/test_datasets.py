@@ -85,3 +85,100 @@ def test_get_dataset_generates_and_loads():
         assert np.all(np.isfinite(f["target_signal"][:]))
     finally:
         f.close()
+
+
+# -- real-data loaders (local raw files) --------------------------------------
+
+def _write_idx_gz(path, arr):
+    import gzip
+    import struct
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    with gzip.open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def test_load_idx_roundtrip(tmp_path):
+    from kmb_tpu.datasets import load_idx
+
+    imgs = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    fn = str(tmp_path / "imgs.gz")
+    _write_idx_gz(fn, imgs)
+    out = load_idx(fn)
+    assert out.shape == (2, 16)
+    np.testing.assert_array_equal(out, imgs.reshape(2, 16))
+
+
+def test_mnist_loader_builds_dataset(tmp_path, monkeypatch):
+    from kmb_tpu.datasets import mnist
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    monkeypatch.setenv("KMB_RAW_DIR", str(raw))
+    rng = np.random.default_rng(0)
+    _write_idx_gz(str(raw / "train-images-idx3-ubyte.gz"),
+                  rng.integers(0, 256, (30, 7, 7)))
+    _write_idx_gz(str(raw / "t10k-images-idx3-ubyte.gz"),
+                  rng.integers(0, 256, (12, 7, 7)))
+
+    fn = str(tmp_path / "mnist.hdf5")
+    mnist("mnist", kernel="gaussian", task="product",
+          n_points=20, n_targets=12)(fn)
+    import h5py
+    with h5py.File(fn, "r") as f:
+        assert f["source_points"].shape == (20, 49)
+        assert f["target_points"].shape == (12, 49)
+        # Pixels scaled into the exp-family-safe range.
+        assert float(f["source_points"][:].max()) <= 1.0 / np.sqrt(49)
+        want = kernel_matrix(
+            kernel="gaussian", source_points=f["source_points"][:],
+            target_points=f["target_points"][:]) @ f["source_signal"][:]
+        np.testing.assert_allclose(f["target_signal"][:], want, rtol=1e-10)
+
+
+def test_mnist_loader_missing_raw_is_loud(tmp_path, monkeypatch):
+    import pytest
+    from kmb_tpu.datasets import mnist
+
+    monkeypatch.setenv("KMB_RAW_DIR", str(tmp_path / "nowhere"))
+    with pytest.raises(FileNotFoundError, match="KMB_RAW_DIR"):
+        mnist("mnist")(str(tmp_path / "out.hdf5"))
+
+
+def test_glove_loader_builds_attention_dataset(tmp_path, monkeypatch):
+    from kmb_tpu.datasets import glove
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    monkeypatch.setenv("KMB_RAW_DIR", str(raw))
+    rng = np.random.default_rng(1)
+    with open(raw / "glove.twitter.27B.25d.txt", "wb") as f:
+        for i in range(40):
+            vec = rng.standard_normal(25)
+            f.write((f"word{i} " + " ".join(f"{v:.5f}" for v in vec)
+                     + "\n").encode())
+
+    fn = str(tmp_path / "glove.hdf5")
+    glove(dimension=25, n_points=30, n_targets=10)(fn)
+    import h5py
+    with h5py.File(fn, "r") as f:
+        assert f.attrs["task"] == "attention"
+        assert bool(f.attrs["normalize_rows"])
+        assert f["source_points"].shape == (30, 25)
+        assert f["target_points"].shape == (10, 25)
+        norms = np.linalg.norm(f["source_points"][:], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        k = kernel_matrix(
+            kernel="exponential", source_points=f["source_points"][:],
+            target_points=f["target_points"][:])
+        want = (k @ f["source_signal"][:]) / k.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(f["target_signal"][:], want, rtol=1e-10)
+
+
+def test_real_data_registered():
+    assert "product-mnist-D784-E1-M60000-N10000-gaussian" in DATASETS
+    assert ("attention-glove25-D25-E1-M1173514-N10000-exponential"
+            in DATASETS)
