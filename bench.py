@@ -211,10 +211,14 @@ SUITE = [
     # MXU-form regime (large D).
     dict(name="product-gaussian-D64-E8-f32", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="float32"),
+    dict(name="product-gaussian-D64-E8-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=64, e=8, precision="float32x3"),
     dict(name="product-gaussian-D64-E8-bf16", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="bfloat16"),
     dict(name="product-gaussian-D784-E1-f32", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="float32"),
+    dict(name="product-gaussian-D784-E1-f32x3", task="product",
+         kernel="gaussian", n=2**17, d=784, e=1, precision="float32x3"),
     dict(name="product-gaussian-D784-E1-bf16", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16"),
     # Attention: online-softmax flash path (normalize_rows).

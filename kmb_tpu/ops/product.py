@@ -96,6 +96,24 @@ def _augment_source(points, on: str, dtype):
     return jnp.concatenate([points, ones, sq], axis=1).astype(dtype)
 
 
+def _dot3(a, b, dimension_numbers):
+    """bf16x3 matmul: a 2-term hi/lo bfloat16 split with the negligible
+    lo*lo product dropped — three DEFAULT MXU passes for ~2^-16 relative
+    accuracy, against six passes for Precision.HIGHEST (~2^-24) and one
+    for DEFAULT (~2^-8).  Mosaic only lowers DEFAULT and HIGHEST dot
+    precisions, so the intermediate tier is built by hand.
+    """
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dimension_numbers,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+
 def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision,
                sign: float = 1.0):
     """(bN, bM) bilinear form tile: squared distances or dot products.
@@ -112,9 +130,12 @@ def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision,
     negation exp-family kernels need is free.
     """
     if form_mode == "mxu":
+        dims = (((1,), (1,)), ((), ()))
+        if mxu_precision == "bf16x3":
+            return _dot3(x_ref[:], y_ref[:], dims)
         return jax.lax.dot_general(
             x_ref[:], y_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=mxu_precision,
         )
@@ -168,9 +189,12 @@ def _accumulate(k_tile, b_ref, *, acc_mode, n_cols, compute_dtype,
     lane reduction on the VPU — exact f32, zero MXU, ~n_cols VPU passes.
     """
     if acc_mode == "mxu":
+        dims = (((1,), (0,)), ((), ()))
+        if acc_precision == "bf16x3":
+            return _dot3(k_tile, b_ref[:], dims)
         return jax.lax.dot_general(
             k_tile.astype(compute_dtype), b_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=dims,
             preferred_element_type=jnp.float32,
             precision=acc_precision,
         )
@@ -292,10 +316,18 @@ def default_blocks(d: int, m: int, n: int, e: int = 1):
     e_pad = _ceil_to(e + 1, LANE)      # worst case: den column rides in b
     d_pad = _ceil_to(d + 2, 8 if d <= 8 else LANE)
 
+    # Wide signals (e_pad > one 128-lane group) defeat the compiler's
+    # in-place fusion of the kernel map into the form tile and keep more
+    # accumulator temporaries live (measured: E=256 at (1024, 1024) uses
+    # 22.4MB scoped vs ~12MB predicted by the narrow-signal model), so
+    # the form counts twice and the accumulator terms 6x in that regime.
+    form_k = 1 if e_pad <= LANE else 2
+    acc_k = 3 if e_pad <= LANE else 6
+
     def working_set(bn, bm):
-        return 4 * (bn * bm                # form/kernel tile (f32)
+        return 4 * (form_k * bn * bm       # form (+ kernel) tile (f32)
                     + 2 * bm * e_pad       # double-buffered signal tile
-                    + 3 * bn * e_pad       # accumulator + buffered out
+                    + acc_k * bn * e_pad   # accumulator + buffered out
                     + 2 * (bn + bm) * d_pad)   # double-buffered points
 
     budget = 12_500_000  # leave headroom inside the 16MB scoped limit
@@ -306,19 +338,23 @@ def default_blocks(d: int, m: int, n: int, e: int = 1):
     return min(block_n, _ceil_to(n, 8)), min(block_m, _ceil_to(m, LANE))
 
 
-def _mxu_precision(compute_dtype):
+def _mxu_precision(precision, compute_dtype):
     # On the TPU MXU, "float32" matmuls default to fast bf16 passes; the
-    # f32 Pareto entry needs HIGHEST (multi-pass) for the bilinear form,
-    # where squared-distance cancellation is accuracy-critical.
+    # f32 Pareto entry needs HIGHEST (six bf16 passes) for the bilinear
+    # form, where squared-distance cancellation is accuracy-critical.
+    # "float32x3" opts into the hand-built 3-pass tier (_dot3): half the
+    # MXU cost at ~2^-16 relative form error.
+    if precision == "float32x3":
+        return "bf16x3"
     return (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
 
 
-def _acc_precision(compute_dtype):
+def _acc_precision(precision, compute_dtype):
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions, and with the
     # VPU form path the kernel is VPU-bound anyway, so the K @ b matmul
     # keeps full f32 (HIGHEST) accuracy at no wall-clock cost.
-    return _mxu_precision(compute_dtype)
+    return _mxu_precision(precision, compute_dtype)
 
 
 def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
@@ -494,8 +530,8 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
 
     common = dict(block_n=bn, block_m=bm, m=m,
                   mask_diagonal=mask_diagonal, compute_dtype=compute_dtype,
-                  mxu_precision=_mxu_precision(compute_dtype),
-                  acc_precision=_acc_precision(compute_dtype),
+                  mxu_precision=_mxu_precision(precision, compute_dtype),
+                  acc_precision=_acc_precision(precision, compute_dtype),
                   form_mode=form_mode, d=d, needs_mask=needs_mask,
                   acc_mode=acc_mode, n_cols=n_cols)
     in_specs = [
@@ -605,7 +641,12 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
     y = (y.astype(jnp.float32) * scale).astype(dtype)
     b = b.astype(dtype)
     sign = spec.form_sign
-    matmul = functools.partial(jnp.matmul, precision=_mxu_precision(dtype))
+    # The XLA fallback has no hand-built 3-pass tier; float32x3 maps to
+    # full f32 there (semantics: "at least f32x3 accurate").
+    matmul = functools.partial(
+        jnp.matmul,
+        precision=(jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST))
     row_offset = jnp.asarray(row_offset, jnp.int32)
     col_offset = jnp.asarray(col_offset, jnp.int32)
     col_limit = jnp.asarray(col_limit, jnp.int32)

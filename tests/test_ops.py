@@ -128,6 +128,27 @@ def test_bfloat16_precision_tier(problem):
     assert rel < 0.05
 
 
+def test_float32x3_precision_tier(rng):
+    # The hand-built 3-pass bf16 split (MXU-form regime, D=64): error
+    # must land well below the bfloat16 tier and within ~2^-16 of f32.
+    x = (rng.standard_normal((64, 64)) / 8.0).astype(np.float32)
+    y = (rng.standard_normal((96, 64)) / 8.0).astype(np.float32)
+    b = rng.standard_normal((96, 2)).astype(np.float32)
+    want = _truth("gaussian", x, y, b)
+
+    def run(precision):
+        got = np.asarray(kernel_matvec_pallas(
+            jnp.array(x), jnp.array(y), jnp.array(b),
+            kernel_name="gaussian", precision=precision,
+            block_n=16, block_m=128, interpret=True))
+        return np.abs(got - want).max() / np.abs(want).max()
+
+    rel_x3 = run("float32x3")
+    rel_bf16 = run("bfloat16")
+    assert rel_x3 < 3e-4
+    assert rel_x3 < rel_bf16
+
+
 def test_kernel_matrix_xla_matches_oracle(problem):
     x, y, _ = problem
     for kernel in ALL_KERNELS:
