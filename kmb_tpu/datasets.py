@@ -451,6 +451,15 @@ SCALE.update({
         uniform_cube(n_points=50000, task="solver", kernel="gaussian"),
     _name("solver", "cube", 3, 1, 131072, 131072, "gaussian"):
         uniform_cube(n_points=131072, task="solver", kernel="gaussian"),
+    # The gaussian cube system above is numerically singular at this
+    # density (recovering b is ill-posed for ANY solver; the harness
+    # records the resulting unit-scale error honestly).  The sphere
+    # inverse-distance system is the well-posed scale solver benchmark,
+    # matching the reference's solver-task kernel choice
+    # (datasets.py:383-398).
+    _name("solver", "sphere", 3, 1, 131072, 131072, "inverse-distance"):
+        uniform_sphere(n_points=131072, task="solver",
+                       kernel="inverse-distance"),
     _name("attention", "cube", 3, 1, 262144, 262144, "exponential"):
         uniform_cube(n_points=262144, task="attention",
                      kernel="exponential", normalize_rows=True),

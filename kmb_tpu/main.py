@@ -202,11 +202,23 @@ def main(argv=None):
 
     # Experiments run serially, one at a time, for timing fidelity
     # (the reference drains its queue with exactly one worker,
-    # main.py:298-308).
+    # main.py:298-308).  One definition's failure (OOM, device fault,
+    # numerical error) must not kill the sweep — log it and move on,
+    # like the reference's per-job try/except (main.py:43-51).
+    failures = 0
     for definition in definitions:
-        if args.local:
-            run(definition=definition, dataset=args.dataset, runs=args.runs)
-        else:
-            run_subprocess(
-                definition=definition, dataset=args.dataset,
-                runs=args.runs, timeout=args.timeout)
+        try:
+            if args.local:
+                run(definition=definition, dataset=args.dataset,
+                    runs=args.runs)
+            else:
+                run_subprocess(
+                    definition=definition, dataset=args.dataset,
+                    runs=args.runs, timeout=args.timeout)
+        except Exception:
+            failures += 1
+            logger.exception("Experiment failed: %s on %s",
+                             definition, args.dataset)
+    if failures:
+        logger.warning("%d/%d experiments failed.", failures,
+                       len(definitions))

@@ -398,7 +398,7 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     jax.jit,
     static_argnames=("kernel_name", "normalize_rows", "mask_diagonal",
                      "density_estimation", "precision", "block_n", "block_m",
-                     "interpret", "deferred", "needs_mask"))
+                     "interpret", "deferred", "needs_mask", "form"))
 def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                           normalize_rows: bool = False,
                           mask_diagonal: Optional[bool] = None,
@@ -409,6 +409,7 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                           interpret: bool = False,
                           deferred: bool = False,
                           needs_mask: bool = True,
+                          form: Optional[str] = None,
                           row_offset=0, col_offset=0, col_limit=2**31 - 1,
                           row_limit=2**31 - 1):
     """Pallas streaming kernel product on TPU.
@@ -475,7 +476,8 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     # Form layout: for small D the MXU matmul would be ~LANE/d wasteful
     # (the contraction dim pads to 128 lanes), so feed raw + transposed
     # points and compute the form on the VPU instead (_tile_form).
-    form_mode = "vpu" if d <= 8 else "mxu"
+    # `form` overrides the heuristic (perf experiments / tuning).
+    form_mode = form if form is not None else ("vpu" if d <= 8 else "mxu")
     if form_mode == "vpu":
         d_pad = _ceil_to(d, 8)
         x_in = _pad_axis(_pad_axis(xs, d_pad, 1), n_pad, 0)

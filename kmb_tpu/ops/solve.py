@@ -22,10 +22,12 @@ counts are recorded so the harness can report convergence behavior
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kmb_tpu.ops.kernels import get_kernel
 from kmb_tpu.ops.product import kernel_matvec
@@ -162,35 +164,33 @@ def _split_static(fn: Optional[Callable]):
     return fn, ()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("matvec", "tol", "max_iters", "precond"))
-def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
-         precond: Optional[Callable] = None, precond_args=()):
-    """Multi-RHS preconditioned conjugate gradient.
-
-    Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
-    every column satisfies ||r|| <= tol * ||rhs|| (true residual, not the
-    preconditioned one), at max_iters, or after PCG_STALL_WINDOW
-    iterations with no best-residual improvement (float32 CG on
-    ill-conditioned systems hits a rounding floor above tight tolerances;
-    grinding to max_iters there wastes the whole iteration budget).
-    Always returns the best iterate visited, never a later diverged one.
-
-    jit-compiled with the callables static: callers must pass *stable*
-    function objects (bound methods, functools.partial built once) or
-    they pay a retrace per call inside the timed region.
-    """
+@functools.partial(jax.jit, static_argnames=("precond",))
+def _pcg_init(rhs, precond: Optional[Callable] = None, precond_args=()):
     rhs = rhs.astype(jnp.float32)
+    b0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = r0 if precond is None else precond(*precond_args, r0)
+    rz0 = jnp.sum(r0 * z0, axis=0)
+    rs0 = jnp.sum(r0 * r0, axis=0)
+    state = (b0, r0, z0, rz0, rs0, b0, rs0, jnp.int32(0), jnp.int32(0))
+    return state, jnp.sum(rhs * rhs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("matvec", "precond"))
+def _pcg_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
+                 precond: Optional[Callable] = None, precond_args=()):
+    """One bounded segment of CG iterations (device while_loop)."""
     if precond is None:
         apply_precond = lambda v: v  # noqa: E731
     else:
         apply_precond = lambda v: precond(*precond_args, v)  # noqa: E731
-    target_sq = (tol ** 2) * jnp.sum(rhs * rhs, axis=0)   # (E,)
 
     def cond(state):
         _, _, _, _, rs, _, _, stall, it = state
         return jnp.logical_and(
-            jnp.logical_and(it < max_iters, stall < PCG_STALL_WINDOW),
+            jnp.logical_and(
+                jnp.logical_and(it < max_iters, it < seg_end),
+                stall < PCG_STALL_WINDOW),
             jnp.any(rs > target_sq))
 
     def body(state):
@@ -211,17 +211,73 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
         stall = jnp.where(jnp.any(improved), 0, stall + 1)
         return b, r, p, rz_new, rs_new, best_b, best_rs, stall, it + 1
 
-    b0 = jnp.zeros_like(rhs)
-    r0 = rhs
-    z0 = apply_precond(r0)
-    rz0 = jnp.sum(r0 * z0, axis=0)
-    rs0 = jnp.sum(r0 * r0, axis=0)
-    _, _, _, _, _, best_b, best_rs, _, iters = jax.lax.while_loop(
-        cond, body, (b0, r0, z0, rz0, rs0, b0, rs0, jnp.int32(0),
-                     jnp.int32(0)))
-    residual = jnp.sqrt(jnp.max(best_rs / jnp.maximum(
-        jnp.sum(rhs * rhs, axis=0), 1e-30)))
-    return best_b, iters, residual
+    return jax.lax.while_loop(cond, body, state)
+
+
+CG_SEGMENT_START = 16
+CG_SEGMENT_MAX = 2048
+
+
+def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
+         precond: Optional[Callable] = None, precond_args=()):
+    """Multi-RHS preconditioned conjugate gradient.
+
+    Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
+    every column satisfies ||r|| <= tol * ||rhs|| (true residual, not the
+    preconditioned one), at max_iters, or after PCG_STALL_WINDOW
+    iterations with no best-residual improvement (float32 CG on
+    ill-conditioned systems hits a rounding floor above tight tolerances;
+    grinding to max_iters there wastes the whole iteration budget).
+    Always returns the best iterate visited, never a later diverged one.
+
+    The device while_loop runs in host-driven SEGMENTS: one unbounded
+    loop would be a single device execution lasting minutes at M >= 10^5
+    (2 matvecs x ~0.1s x 1000 iterations), past the point where
+    remote-chip transports (the axon tunnel) declare the device hung and
+    fault it.  Segments start at CG_SEGMENT_START iterations and are
+    re-sized from the measured rate toward KMB_CG_SEGMENT_SECONDS
+    (default 20s) of device time; the host replicates the stop
+    conditions between segments, so the iterate sequence is identical
+    to the single-loop form.
+
+    The callables are static jit arguments: callers must pass *stable*
+    function objects (bound methods, functools.partial built once) or
+    they pay a retrace per call inside the timed region.
+    """
+    import time
+
+    state, rhs_sq = _pcg_init(rhs, precond=precond,
+                              precond_args=precond_args)
+    rhs_sq_host = np.asarray(rhs_sq)
+    target_sq_host = (float(tol) ** 2) * rhs_sq_host
+    target_sq = jnp.asarray(target_sq_host)
+    max_iters_dev = jnp.int32(max_iters)
+    target_seconds = float(os.environ.get("KMB_CG_SEGMENT_SECONDS", "20"))
+    segment = CG_SEGMENT_START
+    compile_pass = True
+    while True:
+        rs_host = np.asarray(state[4])
+        stall_host = int(state[7])
+        iters_host = int(state[8])
+        if (iters_host >= max_iters or stall_host >= PCG_STALL_WINDOW
+                or not np.any(rs_host > target_sq_host)):
+            break
+        seg_end = jnp.int32(min(iters_host + segment, max_iters))
+        t0 = time.perf_counter()
+        state = _pcg_segment(matvec, state, target_sq, max_iters_dev,
+                             seg_end, precond=precond,
+                             precond_args=precond_args)
+        ran = int(state[8]) - iters_host  # blocks on the segment
+        elapsed = time.perf_counter() - t0
+        if not compile_pass and ran > 0 and elapsed > 0:
+            segment = int(np.clip(target_seconds * ran / elapsed,
+                                  CG_SEGMENT_START, CG_SEGMENT_MAX))
+        compile_pass = False
+
+    best_b, best_rs = state[5], np.asarray(state[6])
+    residual = float(np.sqrt(
+        (best_rs / np.maximum(rhs_sq_host, 1e-30)).max()))
+    return best_b, int(state[8]), residual
 
 
 def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
