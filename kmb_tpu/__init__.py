@@ -22,3 +22,15 @@ the harness as first-class algorithms in `kmb_tpu.algorithms.tpu_engine`.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Backend override honored at import time: some jax builds pin
+# `jax_platforms` in site customization and ignore the JAX_PLATFORMS env
+# var, so KMB_PLATFORM=cpu is the portable way to force the CPU backend
+# for smoke runs / CI (see smoke.sh, tests/conftest.py).
+_platform = _os.environ.get("KMB_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)

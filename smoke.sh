@@ -15,7 +15,9 @@ WORK="${1:-$(mktemp -d /tmp/kmb_smoke.XXXXXX)}"
 DATASET="product-sphere-D3-E1-M1000-N1000-inverse-distance"
 
 export PYTHONPATH="$REPO"
-export JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}"
+# KMB_PLATFORM forces the jax backend at import time (JAX_PLATFORMS is
+# ignored by builds that pin jax_platforms in site customization).
+export KMB_PLATFORM="${KMB_PLATFORM:-cpu}"
 
 echo "== smoke: workdir=$WORK dataset=$DATASET"
 mkdir -p "$WORK"
