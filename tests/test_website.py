@@ -50,3 +50,21 @@ def test_scatter_mode(tmp_path, monkeypatch):
     create_website.main(["--outputdir", outdir, "--scatter"])
     detail = open(os.path.join(outdir, f"{dataset}.html")).read()
     assert "showLine: false" in detail
+
+
+def test_report_cli(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("KMB_RESULTS_DIR", str(tmp_path / "results"))
+    dataset = "product-sphere-D3-E1-M1000-N1000-inverse-distance"
+    _run_tiny(dataset)
+
+    import report
+    rows = report.collect("product-sphere-*")
+    assert len(rows) == 1
+    assert rows[0]["algorithm"] == "bruteforce-product-blas"
+    assert rows[0]["rmse"] >= 0.0
+    report.emit(rows, "markdown")
+    out = capsys.readouterr().out
+    assert dataset in out and "| RMSE |" in out
+    report.emit(rows, "tsv")
+    out = capsys.readouterr().out
+    assert out.startswith("dataset\t")
