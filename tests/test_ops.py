@@ -222,6 +222,26 @@ class TestSolvers:
             tol=1e-7, max_iters=4000)
         np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
 
+    def test_segment_boundaries_do_not_change_iterates(self, rng,
+                                                       monkeypatch):
+        # The host-segmented CG (ops/solve._pcg) must produce the exact
+        # same iterate sequence regardless of where segments end.
+        from kmb_tpu.ops import solve as solve_mod
+
+        y, _, rhs = self._spd_problem(rng, m=48)
+        ref, it_ref, res_ref = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="gaussian",
+            tol=1e-6, max_iters=2000)
+        assert it_ref > 3  # multiple segments below
+        monkeypatch.setattr(solve_mod, "CG_SEGMENT_START", 2)
+        monkeypatch.setenv("KMB_CG_SEGMENT_SECONDS", "0")
+        got, it, res = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="gaussian",
+            tol=1e-6, max_iters=2000)
+        assert it == it_ref
+        assert res == res_ref
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_cg_respects_max_iters(self, rng):
         y, _, rhs = self._spd_problem(rng, m=48)
         _, iters, _ = cg_solve(jnp.array(y), jnp.array(rhs),
