@@ -228,16 +228,19 @@ SUITE = [
     dict(name="attention-exponential-D64-E8-f32", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="float32",
          normalize_rows=True),
-    # Solvers: matrix-free CG at TPU scale.  The wide D=3 Gaussian system
-    # is well-conditioned at this density — plain CG converges in ~50
-    # iterations and any preconditioner build is pure overhead (measured:
-    # rank-512 Nystrom-PCG is 3x slower AND stalls at a worse residual) —
-    # so it runs unpreconditioned.  The slow-spectral-decay kernels are
-    # where the Nystrom preconditioner earns its keep: plain CG stalls
-    # above tolerance while PCG converges, faster.
-    dict(name="solver-cg-gaussian-D3-M131072-f32", task="solver",
+    dict(name="attention-exponential-D64-E8-f32x3", task="attention",
+         kernel="exponential", n=2**19, d=64, e=8, precision="float32x3",
+         normalize_rows=True),
+    # Solvers: matrix-free CG at TPU scale.  Nystrom rank is a real
+    # tuning knob: on the wide D=3 Gaussian system rank 512 is pure
+    # overhead (plain CG converges in ~50 iterations and the rank-512
+    # PCG stalls at a worse residual) while rank 256 wins ~2x (harness
+    # runs at M=131072: 43 -> 10 iterations at tol 1e-4).  The
+    # slow-spectral-decay kernels are where preconditioning earns its
+    # keep: plain CG stalls above tolerance while PCG converges, faster.
+    dict(name="solver-cg-nystrom-gaussian-D3-M131072-f32", task="solver",
          kernel="gaussian", m=131072, d=3, e=1, precision="float32",
-         tol=1e-5, max_iters=600, precond_rank=0),
+         tol=1e-5, max_iters=600, precond_rank=256),
     dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,
          precision="float32", tol=1e-5, max_iters=600, precond_rank=512),

@@ -68,7 +68,13 @@ class _TpuAlgorithm:
 
 
 class TpuProduct(_TpuAlgorithm, BaseProduct):
-    """Streaming Pallas kernel product / attention on TPU."""
+    """Streaming Pallas kernel product / attention on TPU.
+
+    precision tiers (MXU passes over the bilinear form / accumulation):
+    "bfloat16" (1 pass, ~2^-8), "float32x3" (hand-built 3-pass hi/lo
+    split, ~2^-16), "float32" (6 passes, ~2^-24) — the reference's
+    float16/32/64 sweep (algos.yaml:157-162) mapped to TPU hardware.
+    """
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
                  precision="float32", block_n=None, block_m=None):
