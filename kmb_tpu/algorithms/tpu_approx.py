@@ -182,8 +182,15 @@ class NystromProduct(_ApproxProduct):
         landmarks = select_landmarks(self.y, self.rank, seed=self.seed)
         self.u, self.inv_lam = nystrom_core(
             landmarks, self.kernel, rcond=self.rcond)
-        self.zx, self.zy = nystrom_factors(
-            self.x, self.y, landmarks, self.kernel)
+        if self.same_points:
+            # K(x,L) == K(y,L): share the tall-skinny factor — halves the
+            # build work and HBM (2 x (10^6, r) f32 is the footprint that
+            # matters at north-star scale).
+            self.zy = nystrom_factor(self.y, landmarks, self.kernel)
+            self.zx = self.zy
+        else:
+            self.zx, self.zy = nystrom_factors(
+                self.x, self.y, landmarks, self.kernel)
         hard_fence((self.u, self.inv_lam, self.zx, self.zy))
 
     def query(self):
