@@ -37,8 +37,8 @@ from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
 from kmb_tpu.ops.blr import BLR_KERNELS, BlrOperator
 from kmb_tpu.ops.lowrank import (
     LOWRANK_KERNELS, feature_apply, nystrom_apply, nystrom_core,
-    nystrom_factors, nystrom_solver_apply, nystrom_solver_build,
-    random_feature_map, select_landmarks,
+    nystrom_factor, nystrom_factors, nystrom_solver_apply,
+    nystrom_solver_build, random_feature_map, select_landmarks,
 )
 
 

@@ -104,6 +104,13 @@ def nystrom_factors(x, y, landmarks, kernel_name: str):
             _cross_kernel(y, landmarks, kernel_name))
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def nystrom_factor(x, landmarks, kernel_name: str):
+    """One tall-skinny cross block K(x, L) (n, r) — the same_points case,
+    where targets and sources share a single factor."""
+    return _cross_kernel(x, landmarks, kernel_name)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("normalize_rows", "density_estimation"))
