@@ -326,8 +326,8 @@ def _rank_tiers(ranks: np.ndarray, rank_max: int):
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "num_x_blocks", "mask_diagonal"))
-def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, b_blocks,
-                      near_i, near_j, near_seg, *,
+def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
+                      b_blocks, near_i, near_j, near_seg, *,
                       kernel_name: str, num_x_blocks: int,
                       mask_diagonal: bool):
     """Blocked BLR matvec: returns (num_x_blocks*leaf, E) in blocked order.
@@ -337,6 +337,8 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, b_blocks,
     `mask_diagonal`, matching reference bruteforce.py:8-15); far-field
     contributions are U @ (V @ b_j), one batched einsum per rank tier in
     `far_groups` (a tuple of (u, v, far_j, far_seg) quadruples).
+    `mirror_groups` carry the transposed application of shared factors
+    for symmetric (same_points) operators — empty otherwise.
     """
     spec = get_kernel(kernel_name)
     leaf = xpts.shape[1]
@@ -368,6 +370,16 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, b_blocks,
             jnp.einsum("prl,ple->pre", v, b_blocks[far_j]),
             precision=jax.lax.Precision.HIGHEST))
         segs.append(far_seg)
+    # Symmetric (same_points) operators store only the i < j factors and
+    # apply each one twice: K_ji = K_ij^T ~= V^T U^T (Htool's `symmetry`
+    # knob, reference htool.py:44-52, done TPU-style — same batched
+    # einsums, transposed contraction).
+    for u, v, gather, seg in mirror_groups:
+        t = jnp.einsum("plr,ple->pre", u, b_blocks[gather],
+                       precision=jax.lax.Precision.HIGHEST)
+        outs.append(jnp.einsum("prl,pre->ple", v, t,
+                               precision=jax.lax.Precision.HIGHEST))
+        segs.append(seg)
 
     out = jax.ops.segment_sum(
         jnp.concatenate(outs, axis=0),
