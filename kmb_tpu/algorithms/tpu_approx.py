@@ -155,7 +155,9 @@ class BlrProduct(_ApproxProduct):
         ranks = self.op.block_ranks
         return {"rank": self.rank,
                 "near_pairs": int(self.op.plan.near_pairs.shape[0]),
+                "near_sym_pairs": int(self.op.plan.near_sym_pairs.shape[0]),
                 "far_pairs": int(self.op.plan.far_pairs.shape[0]),
+                "symmetric": bool(self.op.plan.same_points),
                 "mean_block_rank": float(_np.mean(ranks)) if ranks.size
                 else 0.0,
                 "compression": self.op.compression}

@@ -86,8 +86,16 @@ class BlrPlan:
     out_pos: np.ndarray  # (n,) int64
     gather_y: np.ndarray  # (By, leaf) int32
     gid_y: np.ndarray  # (By, leaf) int32
-    near_pairs: np.ndarray  # (Pn, 2) int32 — dense (i, j) block pairs
-    far_pairs: np.ndarray  # (Pf, 2) int32 — compressed (i, j) block pairs
+    # Dense (i, j) block pairs applied forward only.  For same_points
+    # operators these are just the diagonal blocks; the off-diagonal
+    # near-field lives in near_sym_pairs (i < j), each tile computed once
+    # per matvec and applied both as K_ij and K_ij^T (Htool's `symmetry`
+    # knob, reference htool.py:44-52).
+    near_pairs: np.ndarray  # (Pn, 2) int32
+    near_sym_pairs: np.ndarray  # (Ps, 2) int32, i < j; empty if not symmetric
+    # Compressed (i, j) block pairs.  For same_points only i < j pairs are
+    # stored/compressed; the matvec applies the mirror V^T U^T for (j, i).
+    far_pairs: np.ndarray  # (Pf, 2) int32
 
     @property
     def num_x_blocks(self) -> int:
@@ -158,6 +166,17 @@ def build_plan(x: np.ndarray, y: np.ndarray, *, leaf: int = 256,
 
     far = np.argwhere(admissible).astype(np.int32)
     near = np.argwhere(~admissible).astype(np.int32)
+    if same_points:
+        # Admissibility is symmetric (dist and radii are), so keep one
+        # triangle: far factors are stored once and mirrored at matvec
+        # time; off-diagonal near tiles are computed once and applied both
+        # ways.  Diagonal blocks (i == j, never admissible: dist == 0)
+        # stay in the forward-only near list.
+        far = far[far[:, 0] < far[:, 1]]
+        near_sym = near[near[:, 0] < near[:, 1]]
+        near = near[near[:, 0] == near[:, 1]]
+    else:
+        near_sym = np.zeros((0, 2), dtype=np.int32)
 
     out_pos = np.empty(x.shape[0], dtype=np.int64)
     flat_gid = gid_x.reshape(-1)
@@ -167,24 +186,30 @@ def build_plan(x: np.ndarray, y: np.ndarray, *, leaf: int = 256,
     return BlrPlan(leaf=leaf, eta=float(eta), same_points=bool(same_points),
                    gather_x=gather_x, gid_x=gid_x, out_pos=out_pos,
                    gather_y=gather_y, gid_y=gid_y,
-                   near_pairs=near, far_pairs=far)
+                   near_pairs=near, near_sym_pairs=near_sym, far_pairs=far)
 
 
 def _pad_pairs(pairs: np.ndarray, num_x_blocks: int, chunk: int = _CHUNK):
     """Pad an (P, 2) pair list to a chunk multiple.
 
     Dummy pairs use block (0, 0) but scatter into segment `num_x_blocks`,
-    an overflow bucket dropped after segment_sum.
+    an overflow bucket dropped after segment_sum.  Returns
+    (i, j, seg_i, seg_j): seg_i scatters the forward application K_ij@b_j
+    into target block i, seg_j the mirrored application K_ij^T@b_i into
+    block j; both map dummy pairs to the overflow bucket.
     """
     p = pairs.shape[0]
     padded = max(chunk, ((p + chunk - 1) // chunk) * chunk)
     i = np.zeros(padded, dtype=np.int32)
     j = np.zeros(padded, dtype=np.int32)
-    seg = np.full(padded, num_x_blocks, dtype=np.int32)
+    seg_i = np.full(padded, num_x_blocks, dtype=np.int32)
+    seg_j = np.full(padded, num_x_blocks, dtype=np.int32)
     i[:p] = pairs[:, 0]
     j[:p] = pairs[:, 1]
-    seg[:p] = pairs[:, 0]
-    return jnp.asarray(i), jnp.asarray(j), jnp.asarray(seg)
+    seg_i[:p] = pairs[:, 0]
+    seg_j[:p] = pairs[:, 1]
+    return (jnp.asarray(i), jnp.asarray(j),
+            jnp.asarray(seg_i), jnp.asarray(seg_j))
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +352,7 @@ def _rank_tiers(ranks: np.ndarray, rank_max: int):
     jax.jit,
     static_argnames=("kernel_name", "num_x_blocks", "mask_diagonal"))
 def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
-                      b_blocks, near_i, near_j, near_seg, *,
+                      b_blocks, near, near_sym, *,
                       kernel_name: str, num_x_blocks: int,
                       mask_diagonal: bool):
     """Blocked BLR matvec: returns (num_x_blocks*leaf, E) in blocked order.
@@ -337,8 +362,16 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
     `mask_diagonal`, matching reference bruteforce.py:8-15); far-field
     contributions are U @ (V @ b_j), one batched einsum per rank tier in
     `far_groups` (a tuple of (u, v, far_j, far_seg) quadruples).
-    `mirror_groups` carry the transposed application of shared factors
-    for symmetric (same_points) operators — empty otherwise.
+
+    Symmetric (same_points) operators exploit K = K^T two ways (Htool's
+    `symmetry`/`UPLO` knob, reference htool.py:44-52, done TPU-style):
+    `mirror_groups` (u, v, gather_i, seg_j) apply the stored i<j far
+    factors transposed, V^T (U^T b_i) -> block j; `near_sym`
+    (i, j, seg_i, seg_j) lists i<j near pairs whose tile is computed once
+    and applied as both K_ij @ b_j and K_ij^T @ b_i.  `near` is the
+    forward-only list (the diagonal blocks when symmetric; everything
+    when not).  Pass near_sym=None (and mirror_groups=()) for the
+    non-symmetric case.
     """
     spec = get_kernel(kernel_name)
     leaf = xpts.shape[1]
@@ -356,6 +389,7 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
     def near_chunk(chunk):
         return jax.vmap(near_one)(chunk[0], chunk[1])
 
+    near_i, near_j, near_seg, _ = near
     nc = near_i.shape[0] // _CHUNK
     near_out = jax.lax.map(
         near_chunk,
@@ -364,6 +398,31 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
 
     outs = [near_out]
     segs = [near_seg]
+
+    if near_sym is not None:
+        # i < j near tiles: one kernel tile, two masked applications.
+        # Pad *rows* are zeroed too (the transposed application turns
+        # them into columns that would otherwise hit real output rows).
+        def sym_one(i, j):
+            k_tile = _kernel_tile(spec, xpts[i], ypts[j])
+            valid = jnp.logical_and((gid_x[i] >= 0)[:, None],
+                                    (gid_y[j] >= 0)[None, :])
+            if mask_diagonal:
+                valid = jnp.logical_and(
+                    valid, gid_x[i][:, None] != gid_y[j][None, :])
+            k_tile = jnp.where(valid, k_tile, 0.0)
+            return k_tile @ b_blocks[j], k_tile.T @ b_blocks[i]
+
+        def sym_chunk(chunk):
+            return jax.vmap(sym_one)(chunk[0], chunk[1])
+
+        sym_i, sym_j, sym_seg_i, sym_seg_j = near_sym
+        sc = sym_i.shape[0] // _CHUNK
+        fwd, bwd = jax.lax.map(
+            sym_chunk,
+            (sym_i.reshape(sc, _CHUNK), sym_j.reshape(sc, _CHUNK)))
+        outs += [fwd.reshape(-1, leaf, e), bwd.reshape(-1, leaf, e)]
+        segs += [sym_seg_i, sym_seg_j]
     for u, v, far_j, far_seg in far_groups:
         outs.append(jnp.einsum(
             "plr,pre->ple", u,
@@ -427,9 +486,13 @@ class BlrOperator:
         self.gid_y = (self.gid_x if same_points
                       else jax.device_put(jnp.asarray(plan.gid_y)))
         bx = plan.num_x_blocks
-        fi, fj, fseg = _pad_pairs(plan.far_pairs, bx)
-        ni, nj, nseg = _pad_pairs(plan.near_pairs, bx)
-        self._near = (ni, nj, nseg)
+        fi, fj, fseg_i, fseg_j = _pad_pairs(plan.far_pairs, bx)
+        self._near = _pad_pairs(plan.near_pairs, bx)
+        # Off-diagonal near pairs of a symmetric operator: each tile is
+        # computed once per matvec and applied both ways (see
+        # blr_matvec_blocks).  None disables the path (separate trace).
+        self._near_sym = (_pad_pairs(plan.near_sym_pairs, bx)
+                          if same_points else None)
         pf = plan.far_pairs.shape[0]
         if self.epsilon is None:
             u, v = compress_far_blocks(
@@ -437,7 +500,11 @@ class BlrOperator:
                 rank=rank, seed=seed)
             # Single tier; padded dummy pairs scatter into the overflow
             # segment and are dropped by the matvec.
-            self.far_groups = ((u, v, fj, fseg),)
+            self.far_groups = ((u, v, fj, fseg_i),)
+            # Symmetric: the same factors, applied transposed, cover the
+            # unstored j > i triangle (Htool htool.py:44-52).
+            self.mirror_groups = (((u, v, fi, fseg_j),)
+                                  if same_points else ())
             self.block_ranks = np.full(pf, rank, dtype=np.int64)
         else:
             u, v, sv2 = compress_far_blocks_svd(
@@ -445,13 +512,16 @@ class BlrOperator:
                 rank=rank, seed=seed)
             self.block_ranks = select_block_ranks(
                 np.asarray(sv2[:pf]), self.epsilon)
-            groups = []
+            groups, mirrors = [], []
             for tier_rank, idx in _rank_tiers(self.block_ranks, rank):
                 sel = jnp.asarray(idx)
-                groups.append((u[sel, :, :tier_rank],
-                               v[sel, :tier_rank, :],
-                               fj[sel], fseg[sel]))
+                ut = u[sel, :, :tier_rank]
+                vt = v[sel, :tier_rank, :]
+                groups.append((ut, vt, fj[sel], fseg_i[sel]))
+                if same_points:
+                    mirrors.append((ut, vt, fi[sel], fseg_j[sel]))
             self.far_groups = tuple(groups)
+            self.mirror_groups = tuple(mirrors)
         self.n = int(np.asarray(x).shape[0])
         self.m = int(np.asarray(y).shape[0])
 
@@ -465,10 +535,9 @@ class BlrOperator:
 
     def matvec_blocked(self, b_blocks) -> jnp.ndarray:
         """Blocked-signal matvec, result in blocked target order."""
-        ni, nj, nseg = self._near
         return blr_matvec_blocks(
             self.xpts, self.ypts, self.gid_x, self.gid_y, self.far_groups,
-            b_blocks, ni, nj, nseg,
+            self.mirror_groups, b_blocks, self._near, self._near_sym,
             kernel_name=self.kernel_name,
             num_x_blocks=self.plan.num_x_blocks,
             mask_diagonal=get_kernel(self.kernel_name).zero_diagonal)
@@ -482,8 +551,14 @@ class BlrOperator:
 
     @property
     def compression(self) -> float:
-        """Dense-entry count over stored+recomputed entry count."""
+        """Dense-entry count over stored+recomputed entry count.
+
+        Mirror groups reuse the stored i<j factors and symmetric near
+        tiles are computed once, so symmetry shows up here as ~2x.
+        """
         leaf = self.plan.leaf
+        tiles = (self.plan.near_pairs.shape[0]
+                 + self.plan.near_sym_pairs.shape[0])
         stored = (sum(u.size + v.size for u, v, _, _ in self.far_groups)
-                  + self.plan.near_pairs.shape[0] * leaf * leaf)
+                  + tiles * leaf * leaf)
         return float(self.n) * float(self.m) / float(max(stored, 1))

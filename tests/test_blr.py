@@ -166,6 +166,68 @@ def test_adaptive_wrapper_lifecycle(clouds):
     assert "eps=0.001" in algo.name
 
 
+def test_symmetric_plan_stores_one_triangle(rng):
+    # same_points plans keep only i<j far/near-sym pairs; together with
+    # the forward-only diagonal list they must cover the full block grid.
+    y = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    plan = build_plan(y, y, leaf=32, eta=2.0, same_points=True)
+    b = plan.num_x_blocks
+    assert plan.far_pairs.size and (
+        plan.far_pairs[:, 0] < plan.far_pairs[:, 1]).all()
+    assert (plan.near_sym_pairs[:, 0] < plan.near_sym_pairs[:, 1]).all()
+    assert (plan.near_pairs[:, 0] == plan.near_pairs[:, 1]).all()
+    covered = (plan.near_pairs.shape[0] + 2 * plan.near_sym_pairs.shape[0]
+               + 2 * plan.far_pairs.shape[0])
+    assert covered == b * b
+
+
+@pytest.mark.parametrize("kernel", ["gaussian", "absolute-exponential"])
+def test_symmetric_matvec_matches_oracle(kernel, rng):
+    # The mirrored far factors + both-ways near tiles must reproduce the
+    # full operator, not just its stored triangle.
+    y = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    b = rng.standard_normal((300, 2)).astype(np.float32)
+    op = BlrOperator(y, y, kernel_name=kernel, leaf=32, rank=32, eta=1.0,
+                     same_points=True)
+    got = np.asarray(op.matvec(b))
+    np.testing.assert_allclose(got, _truth(kernel, y, y, b),
+                               rtol=5e-4, atol=5e-4)
+    assert len(op.mirror_groups) == len(op.far_groups)
+
+
+def test_symmetric_adaptive_epsilon_matches_oracle(rng):
+    y = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    b = rng.standard_normal((300, 1)).astype(np.float32)
+    op = BlrOperator(y, y, kernel_name="gaussian", leaf=32, rank=32,
+                     eta=2.0, epsilon=1e-3, same_points=True)
+    assert _rel_err(np.asarray(op.matvec(b)), _truth("gaussian", y, y, b)) \
+        < 5e-3
+
+
+def test_symmetry_halves_stored_factors(rng):
+    # Same geometry, same knobs: the symmetric build must store half the
+    # far factors the two-cloud build would (Htool htool.py:44-52 parity).
+    y = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    # rank == leaf makes the range-finder exact, so both builds must agree
+    # with the oracle (at lower rank their truncations differ block-wise:
+    # the mirror reuses the i<j sketch transposed rather than re-sketching).
+    sym = BlrOperator(y, y, kernel_name="gaussian", leaf=32, rank=32,
+                      eta=2.0, same_points=True)
+    full = BlrOperator(y, y.copy(), kernel_name="gaussian", leaf=32, rank=32,
+                       eta=2.0, same_points=False)
+    stored_sym = sum(u.shape[0] for u, _, _, _ in sym.far_groups)
+    stored_full = sum(u.shape[0] for u, _, _, _ in full.far_groups)
+    # Padded to _CHUNK multiples, so compare the plan's real pair counts.
+    assert sym.plan.far_pairs.shape[0] * 2 == full.plan.far_pairs.shape[0]
+    assert stored_sym <= stored_full
+    b = rng.standard_normal((300, 1)).astype(np.float32)
+    want = _truth("gaussian", y, y, b)
+    np.testing.assert_allclose(np.asarray(sym.matvec(b)), want,
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(full.matvec(b)), want,
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_blr_density_estimation(rng):
     y = rng.uniform(-1, 1, (130, 3)).astype(np.float32)
     algo = BlrProduct(kernel="gaussian", dimension=3, leaf=32, rank=32,
