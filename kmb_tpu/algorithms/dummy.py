@@ -25,6 +25,26 @@ class DummyProduct(BaseProduct):
         self.res = np.random.randn(self.n_targets, self.n_outputs)
 
 
+class SleepyProduct(DummyProduct):
+    """Blocks in fit() — fixture for the runner's watchdog timeout."""
+
+    def __init__(self, *, seconds=120.0, **kwargs):
+        super().__init__(**kwargs)
+        self.seconds = float(seconds)
+
+    def fit(self):
+        import time
+
+        time.sleep(self.seconds)
+
+
+class CrashyProduct(DummyProduct):
+    """Raises in fit() — fixture for child-failure accounting."""
+
+    def fit(self):
+        raise RuntimeError("CrashyProduct always fails (test fixture)")
+
+
 class DummySolver(BaseSolver):
     """Returns an (M, E)-shaped standard-normal sample."""
 

@@ -473,11 +473,12 @@ REAL_DATA = {
         mnist("mnist", kernel="gaussian", task="product"),
     _name("product", "fashion-mnist", 784, 1, 60000, 10000, "gaussian"):
         mnist("fashion-mnist", kernel="gaussian", task="product"),
-    _name("attention", "glove25", 25, 1, 1183514 - 10000, 10000,
-          "exponential"):
+    # The raw glove.twitter.27B file has 1,193,514 rows; splitting the
+    # last 10k off as targets leaves M = 1,183,514 sources (reference
+    # README.md:107-110 quotes the source count).
+    _name("attention", "glove25", 25, 1, 1183514, 10000, "exponential"):
         glove(dimension=25),
-    _name("attention", "glove100", 100, 1, 1183514 - 10000, 10000,
-          "exponential"):
+    _name("attention", "glove100", 100, 1, 1183514, 10000, "exponential"):
         glove(dimension=100),
 }
 

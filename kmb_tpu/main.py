@@ -20,7 +20,7 @@ from kmb_tpu.datasets import DATASETS, get_dataset
 from kmb_tpu.definitions import (
     InstantiationStatus, algorithm_status, get_definitions, list_algorithms,
 )
-from kmb_tpu.results import get_result_filename
+from kmb_tpu.results import get_result_filename, record_failure
 from kmb_tpu.runner import run, run_subprocess
 
 logger = logging.getLogger("kmb")
@@ -207,18 +207,28 @@ def main(argv=None):
     # like the reference's per-job try/except (main.py:43-51).
     failures = 0
     for definition in definitions:
+        reason = None
         try:
             if args.local:
                 run(definition=definition, dataset=args.dataset,
                     runs=args.runs)
             else:
-                run_subprocess(
+                reason = run_subprocess(
                     definition=definition, dataset=args.dataset,
                     runs=args.runs, timeout=args.timeout)
-        except Exception:
-            failures += 1
+        except Exception as exc:
+            reason = f"exception: {exc!r}"
             logger.exception("Experiment failed: %s on %s",
                              definition, args.dataset)
+        if reason is not None:
+            failures += 1
+            for qa in definition.query_argument_groups or [{}]:
+                record_failure(dataset=args.dataset, definition=definition,
+                               query_arguments=qa, reason=reason)
     if failures:
+        # A partially (or fully) dead sweep must be loud AND visible to
+        # CI/driver scripts: nonzero exit (the reference's red logging,
+        # reference runner.py:319-338, never surfaced in the exit code).
         logger.warning("%d/%d experiments failed.", failures,
                        len(definitions))
+        sys.exit(1)

@@ -65,6 +65,27 @@ def store_result(*, dataset, definition, query_arguments, attrs, result,
             f.attrs[k] = v
         f["result"] = result
         f["error"] = error
+    # A success supersedes any failure marker from an earlier attempt.
+    try:
+        os.remove(fn + ".failed")
+    except OSError:
+        pass
+    return fn
+
+
+def record_failure(*, dataset, definition, query_arguments, reason):
+    """Write a `.failed` sidecar where the result file would have gone.
+
+    The reference only logs a dead container in red and moves on
+    (reference runner.py:319-338); the sidecar additionally makes a
+    partially failed sweep inspectable post-hoc.  Resume-by-existence
+    checks only for the `.hdf5`, so a retry re-runs the experiment and
+    `store_result` removes the stale marker on success.
+    """
+    fn = get_result_filename(dataset, definition, query_arguments) + ".failed"
+    os.makedirs(os.path.dirname(fn), exist_ok=True)
+    with open(fn, "w") as f:
+        f.write(str(reason) + "\n")
     return fn
 
 

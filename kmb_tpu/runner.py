@@ -227,6 +227,10 @@ def run_from_cmdline(argv=None):
 def run_subprocess(*, definition, dataset, runs, timeout=None):
     """Run one experiment in a fresh child process with a hard timeout.
 
+    Returns None on success, else a short human-readable failure reason
+    ("timeout after Ns" / "child exit code N") that the orchestrator
+    counts and records as a `.failed` marker.
+
     Replaces the reference's Docker path (runner.py:242-317): same
     isolation semantics (fresh interpreter, bounded wall-clock, crash
     containment) without requiring a container runtime.
@@ -274,8 +278,8 @@ def run_subprocess(*, definition, dataset, runs, timeout=None):
     if timed_out.is_set():
         logger.error("Experiment timed out after %ss: %s",
                      timeout, definition.algorithm)
-        return False
+        return f"timeout after {timeout}s"
     if proc.returncode != 0:
         logger.error("Child failed (exit %d).", proc.returncode)
-        return False
-    return True
+        return f"child exit code {proc.returncode}"
+    return None

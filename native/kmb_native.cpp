@@ -88,8 +88,16 @@ void product_rows(const double* x, const double* y, const double* b,
           for (int64_t j = 0; j < bl; ++j)
             form[j] = std::exp(-std::sqrt(form[j] > 0 ? form[j] : 0.0));
         } else if (KERNEL == 2) {
+          // Clamp BEFORE the map: the masked global diagonal has
+          // form == 0, and 1/sqrt(0) = inf would be formally undefined
+          // under -ffast-math's -ffinite-math-only (the flag that buys
+          // the libmvec vector math below).  The clamp keeps the pass
+          // finite (1e150); the diagonal is then overwritten with the
+          // exact 0 the reference semantics require (bruteforce.py:8-15).
+          // Generators never produce off-diagonal coincident points.
+          constexpr double kMinSq = 1e-300;
           for (int64_t j = 0; j < bl; ++j)
-            form[j] = 1.0 / std::sqrt(form[j] > 0 ? form[j] : 0.0);
+            form[j] = 1.0 / std::sqrt(form[j] > kMinSq ? form[j] : kMinSq);
           if (mask_diag && gi >= j0 && gi < j0 + bl) form[gi - j0] = 0.0;
         } else {
           for (int64_t j = 0; j < bl; ++j) form[j] = std::exp(form[j]);

@@ -180,5 +180,5 @@ def test_glove_loader_builds_attention_dataset(tmp_path, monkeypatch):
 
 def test_real_data_registered():
     assert "product-mnist-D784-E1-M60000-N10000-gaussian" in DATASETS
-    assert ("attention-glove25-D25-E1-M1173514-N10000-exponential"
+    assert ("attention-glove25-D25-E1-M1183514-N10000-exponential"
             in DATASETS)

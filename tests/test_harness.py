@@ -200,3 +200,54 @@ class TestMain:
             f.write("")
         plan2 = plan_experiments(args)
         assert len(plan2) == len(plan) - 1
+
+
+class TestFailureAccounting:
+    """Child deaths must be counted, recorded, and surfaced (the reference
+    only logs red and keeps exit code 0, reference runner.py:319-338)."""
+
+    DATASET = "product-cube-D3-E1-M1000-N1000-gaussian"
+
+    def test_subprocess_timeout_returns_reason(self, monkeypatch):
+        from kmb_tpu.runner import run_subprocess
+        monkeypatch.setenv("KMB_PLATFORM", "cpu")
+        definition = Definition(
+            algorithm="dummy-sleepy",
+            module="kmb_tpu.algorithms.dummy",
+            constructor="SleepyProduct",
+            arguments={"kernel": "gaussian", "dimension": 3, "seconds": 120},
+            query_argument_groups=[{}],
+        )
+        reason = run_subprocess(definition=definition, dataset=self.DATASET,
+                                runs=1, timeout=5)
+        assert reason == "timeout after 5s"
+
+    def test_main_counts_child_failures(self, monkeypatch):
+        from kmb_tpu.main import main
+        from kmb_tpu.results import get_result_filename
+        monkeypatch.setenv("KMB_PLATFORM", "cpu")
+        with pytest.raises(SystemExit) as exc:
+            main(["--dataset", self.DATASET, "--definitions", ALGOS_YAML,
+                  "--algorithm", "dummy-crashy", "--run-disabled",
+                  "--runs", "1", "--timeout", "120"])
+        assert exc.value.code == 1
+        marker = get_result_filename(
+            self.DATASET,
+            Definition(algorithm="dummy-crashy",
+                       module="kmb_tpu.algorithms.dummy",
+                       constructor="CrashyProduct",
+                       arguments={"kernel": "gaussian", "dimension": 3,
+                                  "normalize_rows": False},
+                       query_argument_groups=[{}]),
+            {}) + ".failed"
+        assert os.path.exists(marker)
+        with open(marker) as f:
+            assert "exit code" in f.read()
+
+    def test_local_success_exits_cleanly(self, monkeypatch):
+        # Control: a healthy local dummy sweep must NOT raise SystemExit.
+        from kmb_tpu.main import main
+        monkeypatch.setenv("KMB_PLATFORM", "cpu")
+        main(["--dataset", self.DATASET, "--definitions", ALGOS_YAML,
+              "--algorithm", "dummy-product", "--run-disabled", "--local",
+              "--runs", "1"])
