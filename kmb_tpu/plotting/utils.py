@@ -9,6 +9,7 @@ direction, and generate deterministic colors/linestyles per algorithm.
 from __future__ import annotations
 
 import colorsys
+import math
 
 from kmb_tpu.plotting.metrics import all_metrics
 
@@ -30,6 +31,12 @@ def create_pointset(data, xn, yn):
     (xs, ys, labels).
     """
     xm, ym = all_metrics[xn], all_metrics[yn]
+    # Drop only missing/non-finite values — NOT zeros (the reference's
+    # falsy check, utils.py:43, would silently drop a 0.0 build time or
+    # an exactly-zero error statistic from the plots).
+    data = [t for t in data
+            if t[-1] is not None and t[-2] is not None
+            and math.isfinite(t[-1]) and math.isfinite(t[-2])]
     rev_y = -1 if ym["worst"] < 0 else 1
     rev_x = -1 if xm["worst"] < 0 else 1
     data = sorted(data, key=lambda t: (rev_y * t[-1], rev_x * t[-2]))
@@ -40,8 +47,6 @@ def create_pointset(data, xn, yn):
     comparator = (
         (lambda xv, lx: xv > lx) if last_x < 0 else (lambda xv, lx: xv < lx))
     for algo, algo_name, xv, yv in data:
-        if not xv or not yv:
-            continue
         axs.append(xv)
         ays.append(yv)
         als.append(algo_name)

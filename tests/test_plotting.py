@@ -110,11 +110,17 @@ class TestPareto:
             data, "pairs-per-second", "rmse-error")
         assert ls == ["p2", "p1"]
 
-    def test_drops_zero_values(self):
-        data = [("a", "p1", 0.0, 1.0), ("a", "p2", 1.0, 1.0)]
+    def test_keeps_zero_drops_missing(self):
+        # Exact methods can report a 0.0 error statistic and streaming
+        # engines a ~0 build time — zeros are real data and must survive;
+        # only missing (None) and non-finite values are dropped.
+        data = [("a", "p1", 0.0, 1.0), ("a", "p2", 1.0, 0.0),
+                ("a", "p3", None, 1.0), ("a", "p4", float("nan"), 1.0),
+                ("a", "p5", 2.0, 3.0)]
         xs, ys, ls, axs, ays, als = create_pointset(
             data, "total-time", "rmse-error")
-        assert als == ["p2"]
+        assert set(als) == {"p1", "p2", "p5"}
+        assert "p2" in ls and "p1" in ls
 
 
 class TestStyles:
