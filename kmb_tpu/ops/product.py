@@ -156,25 +156,48 @@ def _tile_form(x_ref, y_ref, *, form_mode, on, d, mxu_precision,
 
 
 def _tile_masks(i, j, row_off, col_off, col_limit, row_limit,
-                block_n, block_m, m, mask_diagonal):
+                block_n, block_m, m, mask_flags):
     """(bN, bM) validity mask for the tile at grid position (i, j).
 
-    Masks padded columns (local col >= m, and global col >= col_limit for
-    shards of a globally padded problem), padded rows (global row >=
-    row_limit — needed so iterative solvers can run in padded space with
-    exactly-zero fake rows), and, for singular kernels, the *global*
-    diagonal (row_off + row == col_off + col), matching the reference's
-    post-hoc zeroing (bruteforce.py:12-15).
+    `mask_flags` is the static (mask_rows, mask_cols_local,
+    mask_cols_global, mask_diag) tuple; only the requested terms are
+    built, so each unnecessary condition costs zero VPU work (matters in
+    the small-D VPU-form regime, where the full 4-term mask is several
+    passes per tile — comparable to the form itself).  The terms:
+
+    - cols_local: padded local columns (local col >= m);
+    - cols_global: global col >= col_limit, for shards of a globally
+      padded problem;
+    - rows: global row >= row_limit — needed so iterative solvers can run
+      in padded space with exactly-zero fake rows;
+    - diag: the *global* diagonal (row_off + row == col_off + col) of
+      singular kernels, matching the reference's post-hoc zeroing
+      (bruteforce.py:12-15).
+
+    Returns None when no term is requested.
     """
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0)
-    local_cols = j * block_m + cols
-    global_cols = col_off + local_cols
-    global_rows = row_off + i * block_n + rows
-    mask = jnp.logical_and(local_cols < m, global_cols < col_limit)
-    mask = jnp.logical_and(mask, global_rows < row_limit)
-    if mask_diagonal:
-        mask = jnp.logical_and(mask, global_rows != global_cols)
+    mask_rows, mask_cols_local, mask_cols_global, mask_diag = mask_flags
+    mask = None
+
+    def _and(a, b):
+        return b if a is None else jnp.logical_and(a, b)
+
+    if mask_cols_local or mask_cols_global or mask_diag:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 1)
+        local_cols = j * block_m + cols
+    if mask_rows or mask_diag:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_n, block_m), 0)
+        global_rows = row_off + i * block_n + rows
+    if mask_cols_local:
+        mask = _and(mask, local_cols < m)
+    if mask_cols_global or mask_diag:
+        global_cols = col_off + local_cols
+    if mask_cols_global:
+        mask = _and(mask, global_cols < col_limit)
+    if mask_rows:
+        mask = _and(mask, global_rows < row_limit)
+    if mask_diag:
+        mask = _and(mask, global_rows != global_cols)
     return mask
 
 
@@ -206,8 +229,8 @@ def _accumulate(k_tile, b_ref, *, acc_mode, n_cols, compute_dtype,
 
 def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
                         spec: KernelSpec, block_n, block_m, m,
-                        mask_diagonal, compute_dtype, mxu_precision,
-                        acc_precision, form_mode, d, needs_mask,
+                        compute_dtype, mxu_precision,
+                        acc_precision, form_mode, d, mask_flags,
                         acc_mode, n_cols):
     """Direct accumulation: acc += kernel(G) @ [b, 1]."""
     i, j = pl.program_id(0), pl.program_id(1)
@@ -219,10 +242,10 @@ def _direct_kernel_body(offs_ref, x_ref, y_ref, b_ref, out_ref, acc_ref, *,
     gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
                       mxu_precision=mxu_precision, sign=spec.form_sign)
     k_tile = spec.scaled_fn(gram)
-    if needs_mask:
-        mask = _tile_masks(
-            i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
-            offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
+    mask = _tile_masks(
+        i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+        offs_ref[0, 3], block_n, block_m, m, mask_flags)
+    if mask is not None:
         k_tile = jnp.where(mask, k_tile, 0.0)
 
     acc_ref[:] += _accumulate(
@@ -238,8 +261,8 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
                        acc_out, m_out, l_out,
                        acc_ref, m_ref, l_ref, *,
                        spec: KernelSpec, block_n, block_m, m,
-                       mask_diagonal, compute_dtype, mxu_precision,
-                       acc_precision, form_mode, d, needs_mask,
+                       compute_dtype, mxu_precision,
+                       acc_precision, form_mode, d, mask_flags,
                        acc_mode, n_cols):
     """Online-softmax accumulation for normalized exponential-family kernels.
 
@@ -265,17 +288,17 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
     gram = _tile_form(x_ref, y_ref, form_mode=form_mode, on=spec.on, d=d,
                       mxu_precision=mxu_precision, sign=spec.form_sign)
     logits = spec.scaled_log2_fn(gram)
-    if needs_mask:
-        mask = _tile_masks(
-            i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
-            offs_ref[0, 3], block_n, block_m, m, mask_diagonal)
+    mask = _tile_masks(
+        i, j, offs_ref[0, 0], offs_ref[0, 1], offs_ref[0, 2],
+        offs_ref[0, 3], block_n, block_m, m, mask_flags)
+    if mask is not None:
         logits = jnp.where(mask, logits, FLASH_NEG_INF)
 
     m_prev = m_ref[:]                                   # (bN, 1)
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
     alpha = jnp.exp2(m_prev - m_new)                    # (bN, 1)
     p = jnp.exp2(logits - m_new)                        # (bN, bM)
-    if needs_mask:
+    if mask is not None:
         p = jnp.where(mask, p, 0.0)
 
     m_ref[:] = m_new
@@ -362,13 +385,21 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                          block_n: Optional[int] = None,
                          block_m: Optional[int] = None,
                          row_offset=0, col_offset=0, col_limit=2**31 - 1,
-                         row_limit=2**31 - 1, **kwargs):
+                         row_limit=2**31 - 1,
+                         rows_aligned: bool = False,
+                         cols_aligned: bool = False, **kwargs):
     """Pallas streaming kernel product on TPU (see `_kernel_matvec_pallas`).
 
-    This wrapper statically decides whether in-tile masking is needed at
-    all: with no diagonal to zero, block-aligned shapes, and static
-    offsets/limits that cannot clip the padded tiles, every tile is fully
-    valid and the per-tile iota/compare/select work is compiled out.
+    This wrapper statically decides which in-tile mask terms are needed;
+    every unnecessary term's iota/compare/select work is compiled out
+    (`_tile_masks`).  With static integer offsets/limits the decision is
+    exact.  With traced offsets (SPMD shards inside shard_map, where the
+    offset depends on axis_index) the limits are conservatively assumed
+    to clip unless the caller passes `rows_aligned` / `cols_aligned` —
+    promises that row_limit / col_limit can never clip a real local
+    row/column on ANY shard (i.e. the global problem has no row / column
+    padding).  The sharded schedules (kmb_tpu.parallel.sharded) set them
+    whenever the global shapes divide evenly.
     """
     spec = get_kernel(kernel_name)
     md = spec.zero_diagonal if mask_diagonal is None else mask_diagonal
@@ -378,37 +409,44 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     bn = block_n if block_n is not None else bn
     bm = block_m if block_m is not None else bm
 
-    needs_mask = True
+    n_pad, m_pad = _ceil_to(n, bn), _ceil_to(m, bm)
     bounds = (row_offset, col_offset, col_limit, row_limit)
-    if not md and all(isinstance(v, int) for v in bounds):
-        n_pad, m_pad = _ceil_to(n, bn), _ceil_to(m, bm)
-        if (n_pad == n and m_pad == m
-                and col_offset + m_pad <= col_limit
-                and row_offset + n_pad <= row_limit):
-            needs_mask = False
+    # Local column padding (cols in [m, m_pad)) would inject fake sources
+    # into real rows — always masked when present.  Local ROW padding only
+    # produces garbage output rows that are sliced off, so rows need
+    # masking only when row_limit actually clips real rows (padded-space
+    # iteration).
+    mask_cols_local = m_pad != m
+    if all(isinstance(v, int) for v in bounds):
+        mask_cols_global = col_offset + m > col_limit
+        mask_rows = row_offset + n > row_limit
+    else:
+        mask_cols_global = not cols_aligned
+        mask_rows = not rows_aligned
+    mask_flags = (bool(mask_rows), bool(mask_cols_local),
+                  bool(mask_cols_global), bool(md))
 
     return _kernel_matvec_pallas(
-        x, y, b, kernel_name=kernel_name, mask_diagonal=md,
-        block_n=block_n, block_m=block_m, needs_mask=needs_mask,
+        x, y, b, kernel_name=kernel_name,
+        block_n=block_n, block_m=block_m, mask_flags=mask_flags,
         row_offset=row_offset, col_offset=col_offset,
         col_limit=col_limit, row_limit=row_limit, **kwargs)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_name", "normalize_rows", "mask_diagonal",
+    static_argnames=("kernel_name", "normalize_rows",
                      "density_estimation", "precision", "block_n", "block_m",
-                     "interpret", "deferred", "needs_mask", "form"))
+                     "interpret", "deferred", "mask_flags", "form"))
 def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
                           normalize_rows: bool = False,
-                          mask_diagonal: Optional[bool] = None,
                           density_estimation: bool = False,
                           precision: str = "float32",
                           block_n: Optional[int] = None,
                           block_m: Optional[int] = None,
                           interpret: bool = False,
                           deferred: bool = False,
-                          needs_mask: bool = True,
+                          mask_flags=(True, True, True, False),
                           form: Optional[str] = None,
                           row_offset=0, col_offset=0, col_limit=2**31 - 1,
                           row_limit=2**31 - 1):
@@ -420,7 +458,12 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         precision: "float32" or "bfloat16" — dtype of the MXU inputs;
             accumulation is always float32.
         deferred: return raw combination state for cross-shard merging —
-            (num, den) for the direct scheme, (acc, m, l) for flash.
+            (num, den) for the direct scheme (den is None when nothing
+            consumes row sums — a plain product's shards merge by summing
+            num alone), (acc, m, l) for flash.
+        mask_flags: static (mask_rows, mask_cols_local, mask_cols_global,
+            mask_diag) — which in-tile mask terms to build (see
+            `_tile_masks`); resolved by the `kernel_matvec_pallas` wrapper.
         row_offset / col_offset: dynamic global offsets of this shard's
             rows/columns (for global diagonal masking).
 
@@ -428,8 +471,6 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
         (N, E) float32 result, or the deferred state tuple.
     """
     spec = get_kernel(kernel_name)
-    if mask_diagonal is None:
-        mask_diagonal = spec.zero_diagonal
     n, d = x.shape
     m = y.shape[0]
     compute_dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
@@ -444,12 +485,14 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     use_flash = normalize_rows and spec.scaled_log2_fn is not None
 
     # Row sums (the "den" output) only cost anything when someone reads
-    # them: sum normalization, density estimation with a caller-supplied
-    # signal (when b is implicit ones, num == den exactly), or a deferred
-    # state whose consumer merges (num, den) pairs across shards.
+    # them: sum normalization, or density estimation with a
+    # caller-supplied signal (when b is implicit ones, num == den
+    # exactly).  A deferred plain product returns (num, None): its
+    # cross-shard merge sums num alone, so the extra accumulation column
+    # would be pure waste (one whole VPU lane-reduction pass per tile at
+    # E=1).
     needs_den = (not use_flash) and (
-        deferred or normalize_rows
-        or (density_estimation and not b_was_none))
+        normalize_rows or (density_estimation and not b_was_none))
 
     bn, bm = default_blocks(d, m, n, e)
     if block_n is not None:
@@ -531,10 +574,10 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     grid = (n_pad // bn, m_pad // bm)
 
     common = dict(block_n=bn, block_m=bm, m=m,
-                  mask_diagonal=mask_diagonal, compute_dtype=compute_dtype,
+                  compute_dtype=compute_dtype,
                   mxu_precision=_mxu_precision(precision, compute_dtype),
                   acc_precision=_acc_precision(precision, compute_dtype),
-                  form_mode=form_mode, d=d, needs_mask=needs_mask,
+                  form_mode=form_mode, d=d, mask_flags=tuple(mask_flags),
                   acc_mode=acc_mode, n_cols=n_cols)
     in_specs = [
         pl.BlockSpec((1, 4), lambda i, j: (0, 0),
@@ -635,7 +678,8 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
 
     if density_estimation and normalize_rows and not deferred:
         return jnp.ones((n, 1), dtype=jnp.float32)
-    if b is None:
+    b_was_none = b is None
+    if b_was_none:
         b = jnp.ones((m, 1), dtype=jnp.float32)
 
     scale = jnp.float32(spec.point_scale)
@@ -711,10 +755,14 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
             return acc, mx, l
         return acc / l
     num, den = (p.reshape(n_pad, -1)[:n] for p in parts)
+    # Same deferred-state contract as the Pallas engine: den is None when
+    # nothing consumes row sums (jit DCEs the unused sum), so states from
+    # either backend merge interchangeably.
+    needs_den = normalize_rows or (density_estimation and not b_was_none)
     if deferred:
-        return num, den
+        return num, (den if needs_den else None)
     if density_estimation and not normalize_rows:
-        return den
+        return den if needs_den else num
     if normalize_rows:
         return num / den
     return num
@@ -726,6 +774,8 @@ def kernel_matvec(x, y, b, **kwargs):
         return kernel_matvec_pallas(x, y, b, **kwargs)
     kwargs.pop("interpret", None)
     kwargs.pop("block_m", None)
+    kwargs.pop("rows_aligned", None)  # Pallas mask-elision hints; the XLA
+    kwargs.pop("cols_aligned", None)  # path always masks (cost is noise)
     bn = kwargs.pop("block_n", None)
     if bn is not None:
         kwargs["block_n"] = bn

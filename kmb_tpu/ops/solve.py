@@ -10,9 +10,10 @@ Two regimes (reference counterpart: scipy lstsq, bruteforce.py:205-207):
 - `cg_solve`: matrix-free (preconditioned) conjugate gradient whose matvec
   is the streaming Pallas kernel product — O(M) memory, scales to M ~ 10^6
   and shards across chips (kernel row-sums and dot products are psum-able).
-  For the indefinite inverse-distance kernel we run CG on the normal
-  equations (K^T K b = K^T a with symmetric K => two matvecs per
-  iteration), trading iterations for unconditional robustness.
+  For the indefinite inverse-distance kernel the default is MINRES on the
+  symmetric K itself (one matvec per iteration at condition kappa); CG on
+  the normal equations (K^2 b = K a, two matvecs per iteration at
+  kappa^2) remains as the preconditioned fallback.
 
 All iterations run in float32 with float32 scalar reductions; iteration
 counts are recorded so the harness can report convergence behavior
@@ -280,6 +281,124 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     return best_b, int(state[8]), residual
 
 
+@jax.jit
+def _minres_init(rhs):
+    rhs = rhs.astype(jnp.float32)
+    beta1 = jnp.sqrt(jnp.sum(rhs * rhs, axis=0))           # (E,)
+    safe = jnp.where(beta1 > 0.0, beta1, 1.0)
+    v = rhs / safe
+    zeros = jnp.zeros_like(rhs)
+    zcol = jnp.zeros_like(beta1)
+    ones = jnp.ones_like(beta1)
+    # (x, v_old, v, w, w_old, beta, eta, c_old, s_old, c, s,
+    #  best_x, best_rs, stall, it)
+    state = (zeros, zeros, v, zeros, zeros, beta1, beta1,
+             ones, zcol, ones, zcol,
+             zeros, beta1 * beta1, jnp.int32(0), jnp.int32(0))
+    return state, beta1 * beta1
+
+
+@functools.partial(jax.jit, static_argnames=("matvec",))
+def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end):
+    """One bounded segment of MINRES iterations (device while_loop).
+
+    Classic Paige–Saunders MINRES on a symmetric (possibly INDEFINITE)
+    operator, vectorized over RHS columns with per-column Lanczos/Givens
+    scalars.  One matvec per iteration — against CG on the normal
+    equations (two matvecs per iteration on K², squaring the condition
+    number), this is the right Krylov method for the zero-diagonal
+    inverse-distance matrix.  `eta` is the exact residual norm of the
+    minimum-residual iterate in exact arithmetic; float32 drift is
+    covered by the final true-residual report in `_minres`.
+    """
+
+    def cond(state):
+        rs = state[6] * state[6]
+        stall, it = state[13], state[14]
+        return jnp.logical_and(
+            jnp.logical_and(
+                jnp.logical_and(it < max_iters, it < seg_end),
+                stall < PCG_STALL_WINDOW),
+            jnp.any(rs > target_sq))
+
+    def body(state):
+        (x, v_old, v, w, w_old, beta, eta, c_old, s_old, c, s,
+         best_x, best_rs, stall, it) = state
+        p = matvec(v)
+        alpha = jnp.sum(v * p, axis=0)                     # (E,)
+        p = p - alpha[None, :] * v - beta[None, :] * v_old
+        beta_new = jnp.sqrt(jnp.sum(p * p, axis=0))
+        # Apply the two previous Givens rotations to the new tridiagonal
+        # column, then compute the new rotation annihilating beta_new.
+        delta = c * alpha - c_old * s * beta
+        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        rho2 = s * alpha + c_old * c * beta
+        rho3 = s_old * beta
+        rho1_safe = jnp.where(rho1 > 0.0, rho1, 1.0)
+        c_new = jnp.where(rho1 > 0.0, delta / rho1_safe, 1.0)
+        s_new = jnp.where(rho1 > 0.0, beta_new / rho1_safe, 0.0)
+        w_new = (v - rho3[None, :] * w_old - rho2[None, :] * w) \
+            / rho1_safe[None, :]
+        x = x + (c_new * eta)[None, :] * w_new
+        eta = -s_new * eta
+        beta_safe = jnp.where(beta_new > 0.0, beta_new, 1.0)
+        v_next = p / beta_safe[None, :]
+        rs_new = eta * eta
+        improved = rs_new < best_rs
+        best_x = jnp.where(improved[None, :], x, best_x)
+        best_rs = jnp.minimum(rs_new, best_rs)
+        stall = jnp.where(jnp.any(improved), 0, stall + 1)
+        return (x, v, v_next, w_new, w, beta_new, eta, c, s, c_new, s_new,
+                best_x, best_rs, stall, it + 1)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _minres(matvec: Callable, rhs, tol: float, max_iters: int):
+    """Host-segmented multi-RHS MINRES (same protocol as `_pcg`:
+    bounded device segments sized toward KMB_CG_SEGMENT_SECONDS, stall
+    window on the residual estimate, best-iterate return).
+
+    Returns (b, iterations, relative_residual) with the relative
+    residual measured from one TRUE residual matvec at the end (the
+    in-loop `eta` estimate can drift in float32).
+    """
+    import time
+
+    state, rhs_sq = _minres_init(rhs)
+    rhs_sq_host = np.asarray(rhs_sq)
+    target_sq_host = (float(tol) ** 2) * rhs_sq_host
+    target_sq = jnp.asarray(target_sq_host)
+    max_iters_dev = jnp.int32(max_iters)
+    target_seconds = float(os.environ.get("KMB_CG_SEGMENT_SECONDS", "20"))
+    segment = CG_SEGMENT_START
+    compile_pass = True
+    while True:
+        eta_host = np.asarray(state[6])
+        stall_host = int(state[13])
+        iters_host = int(state[14])
+        if (iters_host >= max_iters or stall_host >= PCG_STALL_WINDOW
+                or not np.any(eta_host * eta_host > target_sq_host)):
+            break
+        seg_end = jnp.int32(min(iters_host + segment, max_iters))
+        t0 = time.perf_counter()
+        state = _minres_segment(matvec, state, target_sq, max_iters_dev,
+                                seg_end)
+        ran = int(state[14]) - iters_host  # blocks on the segment
+        elapsed = time.perf_counter() - t0
+        if not compile_pass and ran > 0 and elapsed > 0:
+            segment = int(np.clip(target_seconds * ran / elapsed,
+                                  CG_SEGMENT_START, CG_SEGMENT_MAX))
+        compile_pass = False
+
+    best_x = state[11]
+    true_r = np.asarray(rhs.astype(jnp.float32) - matvec(best_x))
+    res_sq = np.sum(true_r * true_r, axis=0)
+    residual = float(np.sqrt(
+        (res_sq / np.maximum(rhs_sq_host, 1e-30)).max()))
+    return best_x, int(state[14]), residual
+
+
 def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
                            key=None):
     """Randomized Nyström preconditioner factors (U, lam) for an SPD op.
@@ -342,16 +461,23 @@ def apply_nystrom_precond(u, lam, v, *, rel_floor: float = 1e-4):
 def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
              tol: float = 1e-6, max_iters: int = 1000,
              matvec: Optional[Callable] = None,
-             precond: Optional[Callable] = None):
-    """Matrix-free (preconditioned) CG solve of K b = rhs.
+             precond: Optional[Callable] = None,
+             indefinite_method: str = "minres"):
+    """Matrix-free (preconditioned) Krylov solve of K b = rhs.
 
-    For SPD kernels, plain CG on K.  For indefinite kernels
-    (inverse-distance), CG on the normal equations K^2 b = K rhs
-    (K symmetric), which is SPD whenever K is nonsingular.  `precond`
-    applies M^-1 of the operator actually iterated on (K or K^2).
+    For SPD kernels, (preconditioned) CG on K.  For indefinite kernels
+    (inverse-distance), MINRES directly on the symmetric K — one matvec
+    per iteration at condition kappa(K), against CG on the normal
+    equations (two matvecs per iteration on K² at kappa²), which remains
+    available as indefinite_method="normal" and is the automatic
+    fallback when a preconditioner is supplied (the Nyström factors
+    precondition the SPD K², and MINRES needs an SPD preconditioner).
+    `precond` applies M^-1 of the operator actually iterated on.
 
     Returns:
-        (b, iterations, relative_residual)
+        (b, iterations, relative_residual) — the residual is relative to
+        the operator iterated on (K for MINRES, with one true-residual
+        check; K² b = K rhs for the normal-equations path).
     """
     if matvec is None:
         matvec = _default_matvec(y, kernel_name=kernel_name,
@@ -361,6 +487,9 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         return _pcg(matvec, rhs, tol, max_iters, precond=precond_fn,
                     precond_args=precond_args)
 
+    if indefinite_method == "minres" and precond is None:
+        return _minres(matvec, jnp.asarray(rhs, jnp.float32), tol,
+                       max_iters)
     k_rhs = matvec(rhs.astype(jnp.float32))
     return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
                 precond=precond_fn, precond_args=precond_args)

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kmb_tpu.ops.kernels import get_kernel
 from kmb_tpu.ops.product import FLASH_NEG_INF, _ceil_to, kernel_matvec
-from kmb_tpu.ops.solve import SPD_KERNELS, _pcg
+from kmb_tpu.ops.solve import SPD_KERNELS, _minres, _pcg
 
 
 def make_mesh(shape=None, axis_names=None, devices=None) -> Mesh:
@@ -115,12 +115,17 @@ def _finalize(state, use_flash, normalize_rows, density_estimation):
         acc, _, l = state
         # Guard padded (fully-masked) rows where the normalizer is 0.
         return acc / jnp.where(l > 0.0, l, 1.0)
-    num, den = state
+    num, den = state  # den is None for a plain product (engine contract)
     if density_estimation and not normalize_rows:
-        return den
+        return den if den is not None else num
     if normalize_rows:
         return num / den
     return num
+
+
+def _merge_direct(a, b):
+    """Sum two deferred (num, den) states; den may be None on both."""
+    return (a[0] + b[0], None if a[1] is None else a[1] + b[1])
 
 
 # -- all-pairs schedule (2-D mesh, psum over the source axis) -----------------
@@ -149,6 +154,27 @@ def allpairs_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
     local_n, local_m = n_pad // pt, m_pad // ps
     use_flash = normalize_rows and spec.log_fn is not None
 
+    fn = _allpairs_jit(
+        mesh, tgt, src, kernel_name, normalize_rows, density_estimation,
+        precision, block_n, block_m, local_n, local_m, n, m, use_flash,
+        n_pad == n, m_pad == m)
+    out = fn(x, y, b)
+    return _slice_rows(out, n, mesh)
+
+
+@functools.lru_cache(maxsize=256)
+def _allpairs_jit(mesh, tgt, src, kernel_name, normalize_rows,
+                  density_estimation, precision, block_n, block_m,
+                  local_n, local_m, n, m, use_flash, rows_aligned,
+                  cols_aligned):
+    """Cached jitted all-pairs program.
+
+    `jax.jit` caches by function identity; building the shard_map wrapper
+    inline would retrace (and re-hash the whole Pallas program) on every
+    call, a ~seconds-scale constant cost at north-star sizes.  Keying on
+    the static parameters restores proper caching.
+    """
+
     def shard_fn(xs, ys, bs):
         ti = jax.lax.axis_index(tgt)
         si = jax.lax.axis_index(src)
@@ -159,15 +185,20 @@ def allpairs_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
             precision=precision, block_n=block_n, block_m=block_m,
             deferred=True,
             row_offset=ti * local_n, col_offset=si * local_m,
-            col_limit=m, row_limit=n)
+            col_limit=m, row_limit=n,
+            # Mask-elision promises (see kernel_matvec_pallas): with no
+            # global padding, row/col limits can never clip a real local
+            # row/column on any shard.
+            rows_aligned=rows_aligned, cols_aligned=cols_aligned)
         if use_flash:
             state = combine_flash_psum(state, src)
         else:
-            state = tuple(jax.lax.psum(s, src) for s in state)
+            state = tuple(None if s is None else jax.lax.psum(s, src)
+                          for s in state)
         return _finalize(state, use_flash, normalize_rows,
                          density_estimation)
 
-    out = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(tgt, None), P(src, None), P(src, None)),
         out_specs=P(tgt, None),
@@ -175,8 +206,7 @@ def allpairs_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
         # checker cannot see through them; correctness is covered by the
         # CPU-mesh oracle tests.
         check_vma=False,
-    ))(x, y, b)
-    return _slice_rows(out, n, mesh)
+    ))
 
 
 # -- ring schedule (1-D mesh, ppermute) ---------------------------------------
@@ -184,11 +214,31 @@ def allpairs_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
 def _ring_shard_fn(xs, ys, bs, *, axis, kernel_name, normalize_rows,
                    density_estimation, precision, block_n, block_m,
                    local_n, local_m, m_global, n_global, e_width,
-                   use_flash):
+                   use_flash, rows_aligned, cols_aligned):
     p = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     row_off = me * local_n
     perm = [(i, (i + 1) % p) for i in range(p)]
+    needs_den = normalize_rows or density_estimation  # b is explicit here
+
+    def compute(s, y_cur, b_cur):
+        owner = jax.lax.rem(me - s + p, p)   # whose chunk we hold now
+        return kernel_matvec(
+            xs, y_cur, b_cur, kernel_name=kernel_name,
+            normalize_rows=normalize_rows,
+            density_estimation=density_estimation,
+            precision=precision, block_n=block_n, block_m=block_m,
+            deferred=True,
+            row_offset=row_off, col_offset=owner * local_m,
+            col_limit=m_global, row_limit=n_global,
+            rows_aligned=rows_aligned, cols_aligned=cols_aligned)
+
+    if p == 1:
+        # Degenerate ring: one chunk, no rotation, no merge — identical
+        # compute to the direct engine (the single-chip overhead target).
+        state = compute(0, ys, bs)
+        return _finalize(state, use_flash, normalize_rows,
+                         density_estimation)
 
     if use_flash:
         init = (jnp.zeros((local_n, e_width), jnp.float32),
@@ -196,7 +246,7 @@ def _ring_shard_fn(xs, ys, bs, *, axis, kernel_name, normalize_rows,
                 jnp.zeros((local_n, 1), jnp.float32))
     else:
         init = (jnp.zeros((local_n, e_width), jnp.float32),
-                jnp.zeros((local_n, 1), jnp.float32))
+                jnp.zeros((local_n, 1), jnp.float32) if needs_den else None)
     # Constants are axis-invariant; the loop carry becomes device-varying
     # after the first step, so mark the initial state varying too.
     init = jax.tree.map(
@@ -204,24 +254,27 @@ def _ring_shard_fn(xs, ys, bs, *, axis, kernel_name, normalize_rows,
 
     def step(s, carry):
         state, y_cur, b_cur = carry
-        owner = jax.lax.rem(me - s + p, p)   # whose chunk we hold now
-        part = kernel_matvec(
-            xs, y_cur, b_cur, kernel_name=kernel_name,
-            normalize_rows=normalize_rows,
-            density_estimation=density_estimation,
-            precision=precision, block_n=block_n, block_m=block_m,
-            deferred=True,
-            row_offset=row_off, col_offset=owner * local_m,
-            col_limit=m_global, row_limit=n_global)
+        # Issue the rotation FIRST: collective-permute-start depends only
+        # on (y_cur, b_cur), never on the chunk compute below, so XLA's
+        # latency-hiding scheduler overlaps the ICI transfer with the
+        # whole Pallas chunk — double buffering without explicit
+        # async_remote_copy plumbing.
+        y_next = jax.lax.ppermute(y_cur, axis, perm)
+        b_next = jax.lax.ppermute(b_cur, axis, perm)
+        part = compute(s, y_cur, b_cur)
         if use_flash:
             state = merge_flash_states(state, part)
         else:
-            state = tuple(a + c for a, c in zip(state, part))
-        y_next = jax.lax.ppermute(y_cur, axis, perm)
-        b_next = jax.lax.ppermute(b_cur, axis, perm)
+            state = _merge_direct(state, part)
         return state, y_next, b_next
 
-    state, _, _ = jax.lax.fori_loop(0, p, step, (init, ys, bs))
+    # Only p-1 rotations are needed: the last visiting chunk is consumed
+    # without being forwarded (the step's final ppermute would be dead
+    # ICI traffic).
+    state, y_last, b_last = jax.lax.fori_loop(0, p - 1, step, (init, ys, bs))
+    part = compute(p - 1, y_last, b_last)
+    state = (merge_flash_states(state, part) if use_flash
+             else _merge_direct(state, part))
     return _finalize(state, use_flash, normalize_rows, density_estimation)
 
 
@@ -263,24 +316,36 @@ def ring_kernel_matvec(x, y, b, *, mesh: Mesh, kernel_name: str,
     local_n, local_m = n_pad // p, m_pad // p
     use_flash = normalize_rows and spec.log_fn is not None
 
+    fn = _ring_jit(
+        mesh, axis, kernel_name, normalize_rows, density_estimation,
+        precision, block_n, block_m, local_n, local_m, m, n, e,
+        use_flash, n_pad == n, m_pad == m)
+    out = fn(x, y, b)
+    if keep_padded:
+        return out
+    return _slice_rows(out, n, mesh)
+
+
+@functools.lru_cache(maxsize=256)
+def _ring_jit(mesh, axis, kernel_name, normalize_rows, density_estimation,
+              precision, block_n, block_m, local_n, local_m, m_global,
+              n_global, e_width, use_flash, rows_aligned, cols_aligned):
+    """Cached jitted ring program (see `_allpairs_jit` for the rationale:
+    a fresh jit wrapper per call would retrace every time)."""
     shard_fn = functools.partial(
         _ring_shard_fn, axis=axis, kernel_name=kernel_name,
         normalize_rows=normalize_rows,
         density_estimation=density_estimation, precision=precision,
         block_n=block_n, block_m=block_m, local_n=local_n,
-        local_m=local_m, m_global=m, n_global=n, e_width=e,
-        use_flash=use_flash)
-
-    out = jax.jit(jax.shard_map(
+        local_m=local_m, m_global=m_global, n_global=n_global,
+        e_width=e_width, use_flash=use_flash,
+        rows_aligned=rows_aligned, cols_aligned=cols_aligned)
+    return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None)),
         out_specs=P(axis, None),
         check_vma=False,
-    ))(x, y, b)
-    del e  # width already correct from _finalize
-    if keep_padded:
-        return out
-    return _slice_rows(out, n, mesh)
+    ))
 
 
 def sharded_kernel_matvec(x, y, b, *, mesh: Mesh, schedule="auto", **kwargs):
@@ -363,7 +428,9 @@ def sharded_cg_solve(y, rhs, *, mesh: Mesh, kernel_name: str,
     if kernel_name in SPD_KERNELS:
         b, iters, residual = _pcg(matvec, rhs_pad, tol, max_iters)
     else:
-        from kmb_tpu.ops.solve import NormalEquationsOp
-        b, iters, residual = _pcg(NormalEquationsOp(matvec),
-                                  matvec(rhs_pad), tol, max_iters)
+        # Symmetric indefinite (inverse-distance): MINRES on K directly,
+        # same choice as the single-chip solver (ops/solve.py cg_solve).
+        # Padded rows of K and rhs are exactly zero, so norms/inner
+        # products over the padded arrays equal the unpadded ones.
+        b, iters, residual = _minres(matvec, rhs_pad, tol, max_iters)
     return _slice_rows(b, m, mesh), iters, residual

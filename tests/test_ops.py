@@ -219,8 +219,35 @@ class TestSolvers:
         y, b, rhs = self._spd_problem(rng, kernel="inverse-distance", m=40)
         got, iters, residual = cg_solve(
             jnp.array(y), jnp.array(rhs), kernel_name="inverse-distance",
-            tol=1e-7, max_iters=4000)
+            tol=1e-7, max_iters=4000, indefinite_method="normal")
         np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
+
+    def test_minres_solves_indefinite(self, rng):
+        # Default path for the symmetric-indefinite inverse-distance
+        # matrix: MINRES on K itself, residual measured against K.
+        y, b, rhs = self._spd_problem(rng, kernel="inverse-distance", m=80)
+        got, iters, residual = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="inverse-distance",
+            tol=1e-6, max_iters=4000)
+        assert 0 < iters
+        assert residual < 1e-5
+        np.testing.assert_allclose(np.asarray(got), b, atol=5e-2)
+
+    def test_minres_uses_fewer_matvecs_than_normal_equations(self, rng):
+        # kappa vs kappa^2: at matched solution accuracy MINRES (one
+        # matvec/iteration) must beat CG on K^2 (two matvecs/iteration).
+        y, b, rhs = self._spd_problem(rng, kernel="inverse-distance",
+                                      m=200, e=1)
+        got_mr, it_mr, _ = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="inverse-distance",
+            tol=1e-6, max_iters=4000, indefinite_method="minres")
+        got_ne, it_ne, _ = cg_solve(
+            jnp.array(y), jnp.array(rhs), kernel_name="inverse-distance",
+            tol=1e-6, max_iters=4000, indefinite_method="normal")
+        err_mr = np.abs(np.asarray(got_mr) - b).max()
+        err_ne = np.abs(np.asarray(got_ne) - b).max()
+        assert err_mr <= err_ne * 2.0 + 1e-3
+        assert it_mr < 2 * it_ne  # fewer matvecs (1/iter vs 2/iter)
 
     def test_segment_boundaries_do_not_change_iterates(self, rng,
                                                        monkeypatch):
