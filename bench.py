@@ -105,11 +105,24 @@ def run_product(cfg, runs):
         rng.standard_normal((n, e)), jnp.float32))
     hard_fence((x, b))
 
-    def step():
-        hard_fence(kernel_matvec(
-            x, x, b, kernel_name=cfg["kernel"],
-            normalize_rows=cfg.get("normalize_rows", False),
-            precision=cfg["precision"]))
+    if cfg.get("schedule") == "ring":
+        # 1-device ring: measures the ring schedule's overhead floor over
+        # the direct engine (the multi-chip context-parallel path,
+        # kmb_tpu.parallel.sharded.ring_kernel_matvec).
+        from kmb_tpu.parallel.sharded import make_mesh, ring_kernel_matvec
+        mesh = make_mesh(devices=jax.devices()[:1])
+
+        def step():
+            hard_fence(ring_kernel_matvec(
+                x, x, b, mesh=mesh, kernel_name=cfg["kernel"],
+                normalize_rows=cfg.get("normalize_rows", False),
+                precision=cfg["precision"]))
+    else:
+        def step():
+            hard_fence(kernel_matvec(
+                x, x, b, kernel_name=cfg["kernel"],
+                normalize_rows=cfg.get("normalize_rows", False),
+                precision=cfg["precision"]))
 
     step()  # compile (excluded, matching the best-of-N protocol)
     t = _best_of(step, runs)
@@ -117,6 +130,63 @@ def run_product(cfg, runs):
         "seconds": t,
         "pairs_per_second": _pairs(n, n) / t,
         "tflops": _flops(n, n, d, e) / t / 1e12,
+    }
+
+
+def run_blr(cfg, runs):
+    """BLR (H-matrix slot) vs the exact streaming engine on the same data.
+
+    vs_baseline = exact engine query time / BLR query time (the Htool
+    value proposition: compressed matvec beats dense once built,
+    reference htool.py:15-165); rmse_vs_exact reports the accuracy cost.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from kmb_tpu.ops.blr import BlrOperator
+    from kmb_tpu.ops.product import kernel_matvec
+    from kmb_tpu.utils import hard_fence
+
+    m, d = cfg["m"], cfg["d"]
+    rng = np.random.default_rng(0)
+    y = rng.random((m, d)).astype(np.float32)
+    b = rng.standard_normal((m, 1)).astype(np.float32)
+    yj = jax.device_put(jnp.asarray(y))
+    bj = jax.device_put(jnp.asarray(b))
+    hard_fence((yj, bj))
+
+    def exact_step():
+        return hard_fence(kernel_matvec(
+            yj, yj, bj, kernel_name=cfg["kernel"], precision="float32"))
+
+    exact_out = np.asarray(exact_step())
+    t_exact = _best_of(exact_step, runs)
+
+    kwargs = dict(kernel_name=cfg["kernel"], leaf=cfg["leaf"],
+                  rank=cfg["rank"], eta=cfg["eta"],
+                  epsilon=cfg.get("epsilon"), same_points=True)
+    op = BlrOperator(y, y, **kwargs)          # compile pass
+    t0 = time.perf_counter()
+    op = BlrOperator(y, y, **kwargs)
+    t_build = time.perf_counter() - t0
+    bb = hard_fence(op.block_signal(b))
+
+    def blr_step():
+        return hard_fence(op.unblock(op.matvec_blocked(bb)))
+
+    got = np.asarray(blr_step())
+    t_query = _best_of(blr_step, runs)
+    rmse = float(np.sqrt(np.mean((got - exact_out) ** 2)))
+    return {
+        "seconds": t_build + t_query,
+        "build_seconds": t_build,
+        "query_seconds": t_query,
+        "exact_query_seconds": t_exact,
+        "rmse_vs_exact": rmse,
+        "compression": op.compression,
+        "pairs_per_second": _pairs(m, m) / t_query,
+        "vs_baseline": t_exact / t_query,
+        "baseline": "exact Pallas streaming engine, same data and chip",
     }
 
 
@@ -209,6 +279,22 @@ SUITE = [
     dict(name="product-gaussian-D3-E1-bf16", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="bfloat16"),
     # MXU-form regime (large D).
+    # Ring-schedule overhead floor (1 device): tracks the multi-chip
+    # context-parallel path against the direct engine above.
+    dict(name="product-gaussian-D3-E1-f32-ring", task="product",
+         kernel="gaussian", n=2**20, d=3, e=1, precision="float32",
+         schedule="ring"),
+    # Mid-D regime (the GloVe dimension, datasets.py glove25): between
+    # the VPU form (D<=8) and the well-filled MXU form (D>=64).
+    dict(name="product-gaussian-D25-E1-f32", task="product",
+         kernel="gaussian", n=2**19, d=25, e=1, precision="float32"),
+    dict(name="product-gaussian-D25-E1-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=25, e=1, precision="float32x3"),
+    dict(name="product-gaussian-D64-E1-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=64, e=1, precision="float32x3"),
+    dict(name="attention-exponential-D25-E1-f32", task="attention",
+         kernel="exponential", n=2**19, d=25, e=1, precision="float32",
+         normalize_rows=True),
     dict(name="product-gaussian-D64-E8-f32", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="float32"),
     dict(name="product-gaussian-D64-E8-f32x3", task="product",
@@ -247,6 +333,11 @@ SUITE = [
     dict(name="solver-cg-nystrom-invdist-D3-M65536-f32", task="solver",
          kernel="inverse-distance", m=65536, d=3, e=1,
          precision="float32", tol=1e-4, max_iters=600, precond_rank=512),
+    # BLR — the H-matrix (Htool) slot on its home turf: the singular
+    # inverse-distance kernel, adaptive-epsilon compression.
+    dict(name="blr-invdist-D3-M131072-eps1e-3", task="blr",
+         kernel="inverse-distance", m=131072, d=3, leaf=256, rank=64,
+         eta=2.0, epsilon=1e-3),
 ]
 
 
@@ -267,7 +358,7 @@ def main():
     # product/attention entries.
     baselines = {}
     for cfg in suite_cfgs:
-        if cfg["task"] == "solver":
+        if cfg["task"] in ("solver", "blr"):
             continue
         key = (cfg["kernel"], cfg["d"], cfg["e"],
                cfg.get("normalize_rows", False))
@@ -286,7 +377,16 @@ def main():
 
     suite = {}
     for cfg in suite_cfgs:
-        if cfg["task"] == "solver":
+        if cfg["task"] == "blr":
+            entry = run_blr(cfg, runs)
+            print(f"# {cfg['name']} [{backend}]: build "
+                  f"{entry['build_seconds']:.3f}s + query "
+                  f"{entry['query_seconds']:.4f}s (exact "
+                  f"{entry['exact_query_seconds']:.4f}s -> "
+                  f"{entry['vs_baseline']:.1f}x; rmse "
+                  f"{entry['rmse_vs_exact']:.2e}, compression "
+                  f"{entry['compression']:.1f}x)", file=sys.stderr)
+        elif cfg["task"] == "solver":
             entry = run_solver(cfg, runs)
             note = ("" if "vs_baseline" not in entry else
                     f"; plain CG {entry['plain_cg_seconds']:.4f}s/"

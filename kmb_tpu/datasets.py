@@ -463,6 +463,12 @@ SCALE.update({
     _name("attention", "cube", 3, 1, 262144, 262144, "exponential"):
         uniform_cube(n_points=262144, task="attention",
                      kernel="exponential", normalize_rows=True),
+    # GloVe-regime synthetic scale config: D=25 unit-scale attention at
+    # M=N=2^20 — the mid-dimension regime of the registered GloVe
+    # datasets (reference README.md:107-110) without needing raw files.
+    _name("attention", "normal", 25, 1, 1048576, 1048576, "exponential"):
+        normal_cloud(n_points=1048576, dimension=25, task="attention",
+                     kernel="exponential", normalize_rows=True),
 })
 
 # Real-data entries build lazily: machines without the raw downloads get

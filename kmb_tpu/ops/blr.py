@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -487,6 +488,23 @@ class BlrOperator:
                       else jax.device_put(jnp.asarray(plan.gid_y)))
         bx = plan.num_x_blocks
         fi, fj, fseg_i, fseg_j = _pad_pairs(plan.far_pairs, bx)
+        # Host-segmented compression: one device call over ALL far pairs
+        # would be a single execution of minutes at M >= 10^5 (hundreds of
+        # thousands of batched tile-QRs), past the point where remote-chip
+        # transports declare the device hung (same limit as the segmented
+        # CG, ops/solve.py).  Slices are _CHUNK-aligned so at most two
+        # program shapes compile.
+        seg = int(os.environ.get("KMB_BLR_BUILD_CHUNK", "8192"))
+        seg = max(_CHUNK, (seg // _CHUNK) * _CHUNK)
+
+        def segmented(compress_fn):
+            outs = []
+            total = fi.shape[0]
+            for s in range(0, total, seg):
+                e_ = min(s + seg, total)
+                outs.append(compress_fn(fi[s:e_], fj[s:e_]))
+            return tuple(jnp.concatenate(parts, axis=0)
+                         for parts in zip(*outs))
         self._near = _pad_pairs(plan.near_pairs, bx)
         # Off-diagonal near pairs of a symmetric operator: each tile is
         # computed once per matvec and applied both ways (see
@@ -495,9 +513,9 @@ class BlrOperator:
                           if same_points else None)
         pf = plan.far_pairs.shape[0]
         if self.epsilon is None:
-            u, v = compress_far_blocks(
-                self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
-                rank=rank, seed=seed)
+            u, v = segmented(lambda i, j: compress_far_blocks(
+                self.xpts, self.ypts, i, j, kernel_name=kernel_name,
+                rank=rank, seed=seed))
             # Single tier; padded dummy pairs scatter into the overflow
             # segment and are dropped by the matvec.
             self.far_groups = ((u, v, fj, fseg_i),)
@@ -507,9 +525,9 @@ class BlrOperator:
                                   if same_points else ())
             self.block_ranks = np.full(pf, rank, dtype=np.int64)
         else:
-            u, v, sv2 = compress_far_blocks_svd(
-                self.xpts, self.ypts, fi, fj, kernel_name=kernel_name,
-                rank=rank, seed=seed)
+            u, v, sv2 = segmented(lambda i, j: compress_far_blocks_svd(
+                self.xpts, self.ypts, i, j, kernel_name=kernel_name,
+                rank=rank, seed=seed))
             self.block_ranks = select_block_ranks(
                 np.asarray(sv2[:pf]), self.epsilon)
             groups, mirrors = [], []
