@@ -36,8 +36,8 @@ from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.ops.kernels import KERNELS
 from kmb_tpu.ops.product import kernel_matvec
 from kmb_tpu.ops.solve import (
-    SPD_KERNELS, apply_nystrom_precond, cg_solve, dense_apply, dense_factor,
-    nystrom_preconditioner,
+    SPD_KERNELS, apply_nystrom_precond, block_jacobi_preconditioner,
+    cg_solve, dense_apply, dense_factor, nystrom_preconditioner,
 )
 
 
@@ -163,20 +163,34 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
                  precision="float32", tol=1e-6, max_iters=1000,
-                 precond_rank=0, block_n=None, block_m=None):
+                 precond_rank=0, precond="nystrom", leaf=512,
+                 block_n=None, block_m=None):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         self._check_kernel(kernel)
+        if precond not in ("nystrom", "jacobi"):
+            raise ValueError(f"precond must be 'nystrom' or 'jacobi', "
+                             f"not {precond!r}.")
+        if precond == "jacobi" and kernel not in SPD_KERNELS:
+            # Block-Jacobi factors diagonal blocks of K itself; for the
+            # indefinite inverse-distance kernel CG iterates on K^2,
+            # whose diagonal blocks are not what gets built.
+            raise NotImplementedError(
+                "precond='jacobi' requires an SPD kernel.")
         self.tol = tol
         self.max_iters = max_iters
         self.precond_rank = int(precond_rank)
+        self.precond_type = precond
+        self.leaf = int(leaf)
         self.block_n = block_n
         self.block_m = block_m
         self.iterations = 0
         self.residual = float("nan")
         self._precond_fn = None
+        self._param_tag = (f"leaf={leaf}" if precond == "jacobi"
+                          else f"rank={precond_rank}")
         self.name = (f"TpuSolverCG({precision}, tol={tol}, "
-                     f"rank={precond_rank})")
+                     f"{self._param_tag})")
 
     def prepare_data(self, *, source_points):
         self.y = jax.device_put(np.asarray(source_points, dtype=np.float32))
@@ -195,9 +209,16 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         return self._matvec(self._matvec(v))
 
     def fit(self):
-        # TIMED: build the randomized Nystrom preconditioner (rank
-        # streaming matvecs fused into one engine call).  rank=0 skips it.
-        if self.precond_rank > 0:
+        # TIMED: build the preconditioner.  Nystrom: rank streaming
+        # matvecs fused into one engine call (rank=0 skips it).
+        # Block-Jacobi: batched Cholesky of the (leaf, leaf) diagonal
+        # kernel blocks over the BLR balanced-bisection clustering.
+        if self.precond_type == "jacobi":
+            self._precond_fn = block_jacobi_preconditioner(
+                np.asarray(self.y), kernel_name=self.kernel,
+                leaf=min(self.leaf, self.y.shape[0]))
+            hard_fence(self._precond_fn.args[0])
+        elif self.precond_rank > 0:
             rank = min(self.precond_rank, self.y.shape[0])
             u, lam = hard_fence(nystrom_preconditioner(
                 self._iterated_op, self.y.shape[0], rank))
@@ -214,7 +235,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         if max_iters is not None:
             self.max_iters = max_iters
         self.name = (f"TpuSolverCG({self.precision}, tol={self.tol}, "
-                     f"rank={self.precond_rank})")
+                     f"{self._param_tag})")
 
     def prepare_query(self, *, target_signal):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))

@@ -460,6 +460,12 @@ SCALE.update({
     _name("solver", "sphere", 3, 1, 131072, 131072, "inverse-distance"):
         uniform_sphere(n_points=131072, task="solver",
                        kernel="inverse-distance"),
+    # BLR / H-matrix home turf (reference htool.py:9-12: BEM-style
+    # compression of the singular inverse-distance kernel) at scale:
+    # the product-task twin of the solver dataset above.
+    _name("product", "sphere", 3, 1, 131072, 131072, "inverse-distance"):
+        uniform_sphere(n_points=131072, task="product",
+                       kernel="inverse-distance"),
     _name("attention", "cube", 3, 1, 262144, 262144, "exponential"):
         uniform_cube(n_points=262144, task="attention",
                      kernel="exponential", normalize_rows=True),

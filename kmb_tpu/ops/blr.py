@@ -525,19 +525,51 @@ class BlrOperator:
                                   if same_points else ())
             self.block_ranks = np.full(pf, rank, dtype=np.int64)
         else:
-            u, v, sv2 = segmented(lambda i, j: compress_far_blocks_svd(
-                self.xpts, self.ypts, i, j, kernel_name=kernel_name,
-                rank=rank, seed=seed))
-            self.block_ranks = select_block_ranks(
-                np.asarray(sv2[:pf]), self.epsilon)
+            # Per-SEGMENT epsilon truncation: the full cap-rank factors of
+            # one segment peak at O(seg * leaf * rank) HBM and are sliced
+            # down to their per-block epsilon ranks before the next
+            # segment's factors are built — materializing the cap-rank
+            # factors for ALL pairs first would need
+            # 2 * Pf * leaf * rank * 4 bytes (17 GB at M=131072,
+            # leaf=256, rank=64: past a 16 GB chip).  select_block_ranks
+            # pulls sv2 to the host, which also serializes segments so
+            # two full-rank working sets never overlap in flight.
+            tier_parts: dict = {}
+            ranks_parts = []
+            total = fi.shape[0]
+            for s in range(0, total, seg):
+                e_ = min(s + seg, total)
+                u, v, sv2 = compress_far_blocks_svd(
+                    self.xpts, self.ypts, fi[s:e_], fj[s:e_],
+                    kernel_name=kernel_name, rank=rank, seed=seed)
+                ranks_seg = select_block_ranks(np.asarray(sv2),
+                                               self.epsilon)
+                # Chunk-padding dummy pairs (positions >= pf) get rank 0
+                # so the tiers cover exactly the real far pairs.
+                real_in_seg = max(0, min(e_, pf) - s)
+                ranks_seg[real_in_seg:] = 0
+                ranks_parts.append(ranks_seg)
+                for tier_rank, idx in _rank_tiers(ranks_seg, rank):
+                    sel = jnp.asarray(idx)
+                    tier_parts.setdefault(tier_rank, []).append((
+                        u[sel, :, :tier_rank], v[sel, :tier_rank, :],
+                        fj[s:e_][sel], fseg_i[s:e_][sel],
+                        fi[s:e_][sel], fseg_j[s:e_][sel]))
+            self.block_ranks = (np.concatenate(ranks_parts)[:pf]
+                                if ranks_parts
+                                else np.zeros(0, dtype=np.int64))
             groups, mirrors = [], []
-            for tier_rank, idx in _rank_tiers(self.block_ranks, rank):
-                sel = jnp.asarray(idx)
-                ut = u[sel, :, :tier_rank]
-                vt = v[sel, :tier_rank, :]
-                groups.append((ut, vt, fj[sel], fseg_i[sel]))
+            for tier_rank in sorted(tier_parts):
+                parts = tier_parts[tier_rank]
+                ut = jnp.concatenate([p[0] for p in parts], axis=0)
+                vt = jnp.concatenate([p[1] for p in parts], axis=0)
+                groups.append((ut, vt,
+                               jnp.concatenate([p[2] for p in parts]),
+                               jnp.concatenate([p[3] for p in parts])))
                 if same_points:
-                    mirrors.append((ut, vt, fi[sel], fseg_j[sel]))
+                    mirrors.append((ut, vt,
+                                    jnp.concatenate([p[4] for p in parts]),
+                                    jnp.concatenate([p[5] for p in parts])))
             self.far_groups = tuple(groups)
             self.mirror_groups = tuple(mirrors)
         self.n = int(np.asarray(x).shape[0])

@@ -399,6 +399,79 @@ def _minres(matvec: Callable, rhs, tol: float, max_iters: int):
     return best_x, int(state[14]), residual
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def _block_jacobi_factors(ypts, valid, *, kernel_name: str):
+    """Batched Cholesky factors of the diagonal kernel blocks.
+
+    ypts (B, leaf, D) blocked points, valid (B, leaf) real-point mask
+    (pads duplicate a real row of their own block).  Pad rows/columns are
+    masked to identity so each factorized block is the SPD principal
+    submatrix of K on its real points, extended by 1s on pads — the pad
+    components of a solve pass through untouched and are dropped by the
+    scatter.  A small diagonal jitter keeps float32 Cholesky away from
+    breakdown on nearly-rank-deficient blocks (coincident points).
+    """
+    leaf = ypts.shape[1]
+
+    def one(yb, vb):
+        k = kernel_matrix_xla(yb, yb, kernel_name=kernel_name,
+                              mask_diagonal=False)
+        mask = jnp.logical_and(vb[:, None], vb[None, :])
+        k = jnp.where(mask, k, 0.0)
+        diag = jnp.where(vb, 1e-5, 1.0)
+        k = k + jnp.diag(diag)
+        return jax.scipy.linalg.cholesky(k, lower=True)
+
+    del leaf
+    return jax.vmap(one)(ypts, valid)
+
+
+@jax.jit
+def apply_block_jacobi(chol, gather, out_pos, v):
+    """P^-1 v for the block-Jacobi preconditioner (batched cho_solve).
+
+    Built by `block_jacobi_preconditioner`; SPD by construction, so it
+    composes with CG directly.  Cost per application: B batched
+    (leaf, leaf) triangular solves — O(M * leaf) flops, negligible next
+    to the O(M^2) streaming matvec it preconditions.
+    """
+    vb = v.astype(jnp.float32)[gather]                      # (B, leaf, E)
+    sol = jax.vmap(lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(
+        chol, vb)
+    return sol.reshape(-1, v.shape[1])[out_pos]
+
+
+def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512):
+    """Block-Jacobi preconditioner from a balanced geometric clustering.
+
+    The classic H-matrix-adjacent alternative to the Nyström spectral
+    preconditioner: cluster the points with the BLR balanced bisection
+    (ops/blr.py), factor every (leaf, leaf) diagonal kernel block once
+    (batched Cholesky on the MXU), and apply all block solves batched.
+    Where Nyström flattens the global top spectrum (best for fast
+    spectral decay — Gaussian), block-Jacobi captures the strong LOCAL
+    coupling of slowly-decaying kernels like absolute-exponential, whose
+    spectrum Nyström cannot summarize at practical ranks
+    (VERDICT round-2 #5; reference accuracy bar: bruteforce.py:205-207).
+
+    Returns a `functools.partial(apply_block_jacobi, ...)` ready to pass
+    as `precond` to `cg_solve` (stable jit identity via _split_static).
+    """
+    from kmb_tpu.ops.blr import _cluster
+
+    y = np.asarray(y)
+    gather, gid = _cluster(np.asarray(y, np.float64), leaf)
+    ypts = jnp.asarray(y[gather], jnp.float32)
+    valid = jnp.asarray(gid >= 0)
+    chol = _block_jacobi_factors(ypts, valid, kernel_name=kernel_name)
+    out_pos = np.empty(y.shape[0], dtype=np.int64)
+    flat_gid = gid.reshape(-1)
+    real = flat_gid >= 0
+    out_pos[flat_gid[real]] = np.nonzero(real)[0]
+    return functools.partial(apply_block_jacobi, chol,
+                             jnp.asarray(gather), jnp.asarray(out_pos))
+
+
 def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
                            key=None):
     """Randomized Nyström preconditioner factors (U, lam) for an SPD op.
