@@ -219,14 +219,31 @@ def _pad_pairs(pairs: np.ndarray, num_x_blocks: int, chunk: int = _CHUNK):
 
 
 def _kernel_tile(spec, xb, yb):
-    """(leaf, leaf) float32 kernel values for one block pair (unmasked)."""
+    """(leaf, leaf) float32 kernel values for one block pair (unmasked).
+
+    For squared-distance kernels at small D the form is the unrolled
+    difference sum (exact-f32, non-negative by construction): near-field
+    tiles hold arbitrarily close point pairs, and the BLAS form
+    |x|^2+|y|^2-2<x,y> cancels to <= 0 at f32 for pairs closer than
+    ~sqrt(eps)*|x| — which turns the singular inverse-distance kernel
+    into inf/NaN on REAL off-diagonal entries (observed at M=131072 in
+    the unit cube, nearest pairs ~4e-4 apart).  Large D falls back to
+    the BLAS form (the difference tensor would be (leaf, leaf, D))."""
     scale = jnp.float32(spec.point_scale)
     xb = xb * scale
     yb = yb * scale
-    dots = xb @ yb.T
     if spec.on == "dot":
+        dots = xb @ yb.T
         form = -dots if spec.form_sign < 0 else dots
+    elif xb.shape[1] <= 32:
+        sqd = None
+        for k in range(xb.shape[1]):
+            diff = xb[:, k:k + 1] - yb[:, k:k + 1].T
+            term = diff * diff
+            sqd = term if sqd is None else sqd + term
+        form = -sqd if spec.form_sign < 0 else sqd
     else:
+        dots = xb @ yb.T
         xsq = jnp.sum(xb * xb, axis=1, keepdims=True)
         ysq = jnp.sum(yb * yb, axis=1, keepdims=True).T
         if spec.form_sign < 0:

@@ -711,6 +711,22 @@ def kernel_matvec_xla(x, y, b, *, kernel_name: str,
             form = matmul(xb, y.T).astype(jnp.float32)
             if sign < 0:
                 form = -form
+        elif d <= 8:
+            # Cancellation-safe difference form, matching the Pallas
+            # engine's VPU-form regime: the BLAS form below rounds the
+            # squared distance of near-coincident pairs to <= 0 at f32,
+            # which the singular inverse-distance kernel amplifies into
+            # O(1)-relative errors (or inf on exact cancellation).
+            xf = xb.astype(jnp.float32)
+            yf = y.astype(jnp.float32)
+            form = None
+            for k in range(d):
+                diff = xf[:, k:k + 1] - yf[:, k:k + 1].T
+                term = diff * diff
+                if sign < 0:
+                    form = -term if form is None else form - term
+                else:
+                    form = term if form is None else form + term
         else:
             xsq = jnp.sum(
                 xb.astype(jnp.float32) ** 2, axis=1, keepdims=True)
