@@ -475,6 +475,14 @@ SCALE.update({
     _name("attention", "normal", 25, 1, 1048576, 1048576, "exponential"):
         normal_cloud(n_points=1048576, dimension=25, task="attention",
                      kernel="exponential", normalize_rows=True),
+    # Same regime in the real GloVe *geometry* (reference README.md:107-110:
+    # 1.18M sources, 10k held-out targets): M = 2^20 sources against 10k
+    # targets keeps the float64 ground truth affordable (1e10 pairs)
+    # while exercising the full-scale source cloud on the chip.
+    _name("attention", "normal", 25, 1, 1048576, 10000, "exponential"):
+        normal_cloud(n_points=1048576, separate_targets=True,
+                     n_targets=10000, dimension=25, task="attention",
+                     kernel="exponential", normalize_rows=True),
 })
 
 # Real-data entries build lazily: machines without the raw downloads get

@@ -263,6 +263,14 @@ def compress_far_blocks(xpts, ypts, far_i, far_j, *, kernel_name: str,
     is shared across blocks; each pair costs one (leaf, leaf) tile, one
     (leaf, rank) sketch, one thin QR, one (rank, leaf) projection — all
     batched over _CHUNK pairs so the MXU sees deep batched matmuls.
+
+    (A Gram-eigh orthogonalization was tried instead of the thin QR —
+    all-MXU, ~2.6x faster post-compile — but the Gram squares the
+    spectrum and caps per-block sigma resolution at sqrt(eps_f32) ~
+    3e-4, visibly degrading rank >= 64 builds; thin QR keeps the
+    f32-native resolution, and the dominant first-build cost is QDWH
+    *compile* time, which the harness's best-of-N timing protocol
+    already discards with run 1.)
     """
     spec = get_kernel(kernel_name)
     leaf = xpts.shape[1]
