@@ -34,3 +34,21 @@ if _platform:
     import jax as _jax
 
     _jax.config.update("jax_platforms", _platform)
+
+# Persistent XLA compilation cache, shared across the runner's
+# per-experiment subprocesses (runner.py isolates every definition in a
+# fresh process, so without this each one re-pays the full compile —
+# minutes for QDWH-heavy programs like the BLR build).  Opt IN with
+# KMB_COMPILE_CACHE=<dir> (or "1" for the default location): serialized
+# executables are loaded back through the backend, which remote
+# (tunneled) backends may not support — verify on your backend before
+# enabling it for a sweep.
+_cache = _os.environ.get("KMB_COMPILE_CACHE", "")
+if _cache and _cache != "0":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _cache if _cache != "1" else _os.path.join(
+            _os.path.expanduser("~"), ".cache", "kmb_tpu_xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
