@@ -240,6 +240,31 @@ def run_solver(cfg, runs):
         "plain_cg_iterations": plain_iters,
         "plain_cg_relative_residual": plain_res,
     }
+    if cfg.get("precond") == "jacobi":
+        from kmb_tpu.ops.solve import block_jacobi_preconditioner
+
+        def build():
+            p = block_jacobi_preconditioner(
+                np.asarray(y), kernel_name=cfg["kernel"],
+                leaf=cfg.get("leaf", 512))
+            hard_fence(p.args[0])
+            return p
+
+        precond = build()
+        t0 = time.perf_counter()
+        precond = build()
+        t_build = time.perf_counter() - t0
+        t_pcg, pcg_iters, pcg_res = timed_solve(precond)
+        return {
+            **entry,
+            "seconds": t_build + t_pcg,
+            "build_seconds": t_build,
+            "solve_seconds": t_pcg,
+            "iterations": pcg_iters,
+            "relative_residual": pcg_res,
+            "vs_baseline": t_plain / (t_build + t_pcg),
+            "baseline": "plain (unpreconditioned) CG, same engine and chip",
+        }
     if rank == 0:
         return {**entry, "seconds": t_plain, "iterations": plain_iters,
                 "relative_residual": plain_res}
@@ -330,6 +355,13 @@ SUITE = [
     dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,
          precision="float32", tol=1e-5, max_iters=600, precond_rank=512),
+    # Block-Jacobi preconditioning on the same system: the local-coupling
+    # complement to Nystrom for the slowly-decaying absolute-exponential
+    # spectrum (ops/solve.py block_jacobi_preconditioner).
+    dict(name="solver-cg-jacobi-absexp-D3-M131072-f32", task="solver",
+         kernel="absolute-exponential", m=131072, d=3, e=1,
+         precision="float32", tol=1e-5, max_iters=600, precond_rank=0,
+         precond="jacobi", leaf=1024),
     dict(name="solver-cg-nystrom-invdist-D3-M65536-f32", task="solver",
          kernel="inverse-distance", m=65536, d=3, e=1,
          precision="float32", tol=1e-4, max_iters=600, precond_rank=512),
