@@ -171,12 +171,10 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         if precond not in ("nystrom", "jacobi"):
             raise ValueError(f"precond must be 'nystrom' or 'jacobi', "
                              f"not {precond!r}.")
-        if precond == "jacobi" and kernel not in SPD_KERNELS:
-            # Block-Jacobi factors diagonal blocks of K itself; for the
-            # indefinite inverse-distance kernel CG iterates on K^2,
-            # whose diagonal blocks are not what gets built.
-            raise NotImplementedError(
-                "precond='jacobi' requires an SPD kernel.")
+        # precond='jacobi' supports both regimes: SPD kernels get
+        # Cholesky block solves with PCG; the indefinite inverse-distance
+        # kernel gets the SPD block spectral-absolute-value variant with
+        # preconditioned MINRES (ops/solve.py).
         self.tol = tol
         self.max_iters = max_iters
         self.precond_rank = int(precond_rank)
@@ -216,7 +214,8 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         if self.precond_type == "jacobi":
             self._precond_fn = block_jacobi_preconditioner(
                 np.asarray(self.y), kernel_name=self.kernel,
-                leaf=min(self.leaf, self.y.shape[0]))
+                leaf=min(self.leaf, self.y.shape[0]),
+                indefinite=self.kernel not in SPD_KERNELS)
             hard_fence(self._precond_fn.args[0])
         elif self.precond_rank > 0:
             rank = min(self.precond_rank, self.y.shape[0])
@@ -241,6 +240,11 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
 
     def query(self):
+        # Routing for the indefinite kernel: the block-abs 'jacobi'
+        # preconditioner is an SPD M⁻¹ of K itself -> preconditioned
+        # MINRES; the Nyström factors precondition K² -> normal
+        # equations (cg_solve's "auto").
+        method = ("minres" if self.precond_type == "jacobi" else "auto")
         b, iters, residual = cg_solve(
             self.y, self.rhs,
             kernel_name=self.kernel,
@@ -249,6 +253,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
             max_iters=int(self.max_iters),
             matvec=self._matvec,
             precond=self._precond_fn,
+            indefinite_method=method,
         )
         self.res = hard_fence(b)
         self.iterations = int(iters)

@@ -52,6 +52,18 @@ def kernel_matrix_xla(x, y, *, kernel_name: str, precision: str = "float32",
     y = y.astype(dtype)
     if spec.on == "dot":
         form = jnp.matmul(x, y.T, precision=mxu).astype(jnp.float32)
+    elif x.shape[1] <= 8:
+        # Cancellation-safe difference form at small D (matching
+        # ops/product.py): the BLAS form below rounds the squared
+        # distance of near-coincident pairs to <= 0 at f32, which the
+        # singular inverse-distance kernel turns into inf on REAL
+        # off-diagonal entries.
+        form = None
+        for kdim in range(x.shape[1]):
+            diff = (x[:, kdim:kdim + 1].astype(jnp.float32)
+                    - y[:, kdim:kdim + 1].astype(jnp.float32).T)
+            term = diff * diff
+            form = term if form is None else form + term
     else:
         xsq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1, keepdims=True)
         ysq = jnp.sum(y.astype(jnp.float32) ** 2, axis=1, keepdims=True).T
@@ -281,91 +293,115 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
     return best_b, int(state[8]), residual
 
 
-@jax.jit
-def _minres_init(rhs):
+@functools.partial(jax.jit, static_argnames=("precond",))
+def _minres_init(rhs, precond: Optional[Callable] = None, precond_args=()):
     rhs = rhs.astype(jnp.float32)
-    beta1 = jnp.sqrt(jnp.sum(rhs * rhs, axis=0))           # (E,)
-    safe = jnp.where(beta1 > 0.0, beta1, 1.0)
-    v = rhs / safe
+    y = rhs if precond is None else precond(*precond_args, rhs)
+    beta1_sq = jnp.maximum(jnp.sum(rhs * y, axis=0), 0.0)   # (E,)
+    beta1 = jnp.sqrt(beta1_sq)
     zeros = jnp.zeros_like(rhs)
     zcol = jnp.zeros_like(beta1)
-    ones = jnp.ones_like(beta1)
-    # (x, v_old, v, w, w_old, beta, eta, c_old, s_old, c, s,
+    # (x, r1, r2, y, w, w2,
+    #  oldb, beta, dbar, epsln, phibar, cs, sn,
     #  best_x, best_rs, stall, it)
-    state = (zeros, zeros, v, zeros, zeros, beta1, beta1,
-             ones, zcol, ones, zcol,
-             zeros, beta1 * beta1, jnp.int32(0), jnp.int32(0))
-    return state, beta1 * beta1
+    state = (zeros, rhs, rhs, y, zeros, zeros,
+             zcol, beta1, zcol, zcol, beta1, -jnp.ones_like(beta1), zcol,
+             zeros, beta1_sq, jnp.int32(0), jnp.int32(0))
+    return state, beta1_sq
 
 
-@functools.partial(jax.jit, static_argnames=("matvec",))
-def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end):
-    """One bounded segment of MINRES iterations (device while_loop).
+@functools.partial(jax.jit, static_argnames=("matvec", "precond"))
+def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
+                    precond: Optional[Callable] = None, precond_args=()):
+    """One bounded segment of (preconditioned) MINRES iterations.
 
-    Classic Paige–Saunders MINRES on a symmetric (possibly INDEFINITE)
-    operator, vectorized over RHS columns with per-column Lanczos/Givens
-    scalars.  One matvec per iteration — against CG on the normal
-    equations (two matvecs per iteration on K², squaring the condition
-    number), this is the right Krylov method for the zero-diagonal
-    inverse-distance matrix.  `eta` is the exact residual norm of the
-    minimum-residual iterate in exact arithmetic; float32 drift is
-    covered by the final true-residual report in `_minres`.
+    Paige–Saunders MINRES with an SPD preconditioner (the structure of
+    SciPy's `minres`), vectorized over RHS columns with per-column
+    Lanczos/Givens scalars.  One matvec + one preconditioner application
+    per iteration on the symmetric (possibly INDEFINITE) operator —
+    against CG on the normal equations (two matvecs per iteration on K²,
+    squaring the condition number), this is the right Krylov method for
+    the zero-diagonal inverse-distance matrix.  `phibar` is the
+    M⁻¹-norm residual of the minimum-residual iterate in exact
+    arithmetic (the plain 2-norm when unpreconditioned); float32 drift
+    is covered by the final true-residual report in `_minres`.
     """
+    if precond is None:
+        psolve = lambda v: v  # noqa: E731
+    else:
+        psolve = lambda v: precond(*precond_args, v)  # noqa: E731
+    tiny = jnp.finfo(jnp.float32).tiny
 
     def cond(state):
-        rs = state[6] * state[6]
-        stall, it = state[13], state[14]
+        phibar, stall, it = state[10], state[15], state[16]
         return jnp.logical_and(
             jnp.logical_and(
                 jnp.logical_and(it < max_iters, it < seg_end),
                 stall < PCG_STALL_WINDOW),
-            jnp.any(rs > target_sq))
+            jnp.any(phibar * phibar > target_sq))
 
     def body(state):
-        (x, v_old, v, w, w_old, beta, eta, c_old, s_old, c, s,
+        (x, r1, r2, y, w, w2,
+         oldb, beta, dbar, epsln, phibar, cs, sn,
          best_x, best_rs, stall, it) = state
+        beta_safe = jnp.where(beta > 0.0, beta, 1.0)
+        v = y / beta_safe[None, :]
         p = matvec(v)
-        alpha = jnp.sum(v * p, axis=0)                     # (E,)
-        p = p - alpha[None, :] * v - beta[None, :] * v_old
-        beta_new = jnp.sqrt(jnp.sum(p * p, axis=0))
-        # Apply the two previous Givens rotations to the new tridiagonal
-        # column, then compute the new rotation annihilating beta_new.
-        delta = c * alpha - c_old * s * beta
-        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
-        rho2 = s * alpha + c_old * c * beta
-        rho3 = s_old * beta
-        rho1_safe = jnp.where(rho1 > 0.0, rho1, 1.0)
-        c_new = jnp.where(rho1 > 0.0, delta / rho1_safe, 1.0)
-        s_new = jnp.where(rho1 > 0.0, beta_new / rho1_safe, 0.0)
-        w_new = (v - rho3[None, :] * w_old - rho2[None, :] * w) \
-            / rho1_safe[None, :]
-        x = x + (c_new * eta)[None, :] * w_new
-        eta = -s_new * eta
-        beta_safe = jnp.where(beta_new > 0.0, beta_new, 1.0)
-        v_next = p / beta_safe[None, :]
-        rs_new = eta * eta
+        # Lanczos three-term recurrence (first iteration has no r1 term).
+        oldb_safe = jnp.where(oldb > 0.0, oldb, 1.0)
+        coef = jnp.where(it >= 1, beta / oldb_safe, 0.0)
+        p = p - coef[None, :] * r1
+        alfa = jnp.sum(v * p, axis=0)
+        p = p - (alfa / beta_safe)[None, :] * r2
+        r1, r2 = r2, p
+        y = psolve(r2)
+        oldb = beta
+        beta = jnp.sqrt(jnp.maximum(jnp.sum(r2 * y, axis=0), 0.0))
+        # Two previous Givens rotations applied to the new tridiagonal
+        # column, then the new rotation annihilating beta.
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), tiny)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+        w1 = w2
+        w2 = w
+        w = (v - oldeps[None, :] * w1 - delta[None, :] * w2) \
+            / gamma[None, :]
+        x = x + phi[None, :] * w
+        rs_new = phibar * phibar
         improved = rs_new < best_rs
         best_x = jnp.where(improved[None, :], x, best_x)
         best_rs = jnp.minimum(rs_new, best_rs)
         stall = jnp.where(jnp.any(improved), 0, stall + 1)
-        return (x, v, v_next, w_new, w, beta_new, eta, c, s, c_new, s_new,
+        return (x, r1, r2, y, w, w2,
+                oldb, beta, dbar, epsln, phibar, cs, sn,
                 best_x, best_rs, stall, it + 1)
 
     return jax.lax.while_loop(cond, body, state)
 
 
-def _minres(matvec: Callable, rhs, tol: float, max_iters: int):
-    """Host-segmented multi-RHS MINRES (same protocol as `_pcg`:
-    bounded device segments sized toward KMB_CG_SEGMENT_SECONDS, stall
-    window on the residual estimate, best-iterate return).
+def _minres(matvec: Callable, rhs, tol: float, max_iters: int,
+            precond: Optional[Callable] = None, precond_args=()):
+    """Host-segmented multi-RHS (preconditioned) MINRES (same protocol
+    as `_pcg`: bounded device segments sized toward
+    KMB_CG_SEGMENT_SECONDS, stall window on the residual estimate,
+    best-iterate return).  `precond` must apply an SPD M⁻¹; the
+    in-loop tolerance is relative in the M⁻¹-norm.
 
     Returns (b, iterations, relative_residual) with the relative
     residual measured from one TRUE residual matvec at the end (the
-    in-loop `eta` estimate can drift in float32).
+    in-loop `phibar` estimate can drift in float32).
     """
     import time
 
-    state, rhs_sq = _minres_init(rhs)
+    state, rhs_sq = _minres_init(rhs, precond=precond,
+                                 precond_args=precond_args)
     rhs_sq_host = np.asarray(rhs_sq)
     target_sq_host = (float(tol) ** 2) * rhs_sq_host
     target_sq = jnp.asarray(target_sq_host)
@@ -374,29 +410,34 @@ def _minres(matvec: Callable, rhs, tol: float, max_iters: int):
     segment = CG_SEGMENT_START
     compile_pass = True
     while True:
-        eta_host = np.asarray(state[6])
-        stall_host = int(state[13])
-        iters_host = int(state[14])
+        phibar_host = np.asarray(state[10])
+        stall_host = int(state[15])
+        iters_host = int(state[16])
         if (iters_host >= max_iters or stall_host >= PCG_STALL_WINDOW
-                or not np.any(eta_host * eta_host > target_sq_host)):
+                or not np.any(phibar_host * phibar_host > target_sq_host)):
             break
         seg_end = jnp.int32(min(iters_host + segment, max_iters))
         t0 = time.perf_counter()
         state = _minres_segment(matvec, state, target_sq, max_iters_dev,
-                                seg_end)
-        ran = int(state[14]) - iters_host  # blocks on the segment
+                                seg_end, precond=precond,
+                                precond_args=precond_args)
+        ran = int(state[16]) - iters_host  # blocks on the segment
         elapsed = time.perf_counter() - t0
         if not compile_pass and ran > 0 and elapsed > 0:
             segment = int(np.clip(target_seconds * ran / elapsed,
                                   CG_SEGMENT_START, CG_SEGMENT_MAX))
         compile_pass = False
 
-    best_x = state[11]
-    true_r = np.asarray(rhs.astype(jnp.float32) - matvec(best_x))
+    best_x = state[13]
+    # The final report is always the plain 2-norm relative residual
+    # (rhs_sq above is the M⁻¹-norm when preconditioned).
+    rhs_f = np.asarray(rhs, dtype=np.float32)
+    true_r = np.asarray(rhs_f - matvec(best_x))
     res_sq = np.sum(true_r * true_r, axis=0)
+    rhs2 = np.sum(rhs_f * rhs_f, axis=0)
     residual = float(np.sqrt(
-        (res_sq / np.maximum(rhs_sq_host, 1e-30)).max()))
-    return best_x, int(state[14]), residual
+        (res_sq / np.maximum(rhs2, 1e-30)).max()))
+    return best_x, int(state[16]), residual
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_name",))
@@ -426,6 +467,43 @@ def _block_jacobi_factors(ypts, valid, *, kernel_name: str):
     return jax.vmap(one)(ypts, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def _block_abs_factors(ypts, valid, *, kernel_name: str):
+    """Batched |K_block|^-1 spectral factors for INDEFINITE kernels.
+
+    The inverse-distance diagonal blocks (zero diagonal, singular
+    off-diagonal decay) are symmetric indefinite, so Cholesky is
+    unavailable and a block inverse would be an indefinite
+    preconditioner.  The matrix absolute value |K_b| = V |w| V^T is the
+    canonical SPD surrogate: it shares K_b's eigenbasis and magnitudes,
+    so |K_b|^-1 K has clustered +-1-ish local spectrum — exactly what
+    preconditioned MINRES wants (it requires an SPD preconditioner).
+    Returns (V, winv) with winv = 1 / max(|w|, floor).
+    """
+
+    def one(yb, vb):
+        k = kernel_matrix_xla(yb, yb, kernel_name=kernel_name)
+        mask = jnp.logical_and(vb[:, None], vb[None, :])
+        k = jnp.where(mask, k, 0.0)
+        k = k + jnp.diag(jnp.where(vb, 0.0, 1.0))
+        w, v = jnp.linalg.eigh(k)
+        aw = jnp.abs(w)
+        floor = jnp.maximum(jnp.max(aw) * 1e-6,
+                            jnp.finfo(jnp.float32).tiny)
+        return v, 1.0 / jnp.maximum(aw, floor)
+
+    return jax.vmap(one)(ypts, valid)
+
+
+@jax.jit
+def apply_block_abs_jacobi(v, winv, gather, out_pos, x):
+    """P^-1 x for the block spectral-absolute-value preconditioner."""
+    xb = x.astype(jnp.float32)[gather]                      # (B, leaf, E)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    sol = mm(v, winv[:, :, None] * mm(v.transpose(0, 2, 1), xb))
+    return sol.reshape(-1, x.shape[1])[out_pos]
+
+
 @jax.jit
 def apply_block_jacobi(chol, gather, out_pos, v):
     """P^-1 v for the block-Jacobi preconditioner (batched cho_solve).
@@ -441,7 +519,8 @@ def apply_block_jacobi(chol, gather, out_pos, v):
     return sol.reshape(-1, v.shape[1])[out_pos]
 
 
-def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512):
+def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512,
+                                indefinite: bool = False):
     """Block-Jacobi preconditioner from a balanced geometric clustering.
 
     The classic H-matrix-adjacent alternative to the Nyström spectral
@@ -463,11 +542,15 @@ def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512):
     gather, gid = _cluster(np.asarray(y, np.float64), leaf)
     ypts = jnp.asarray(y[gather], jnp.float32)
     valid = jnp.asarray(gid >= 0)
-    chol = _block_jacobi_factors(ypts, valid, kernel_name=kernel_name)
     out_pos = np.empty(y.shape[0], dtype=np.int64)
     flat_gid = gid.reshape(-1)
     real = flat_gid >= 0
     out_pos[flat_gid[real]] = np.nonzero(real)[0]
+    if indefinite:
+        v, winv = _block_abs_factors(ypts, valid, kernel_name=kernel_name)
+        return functools.partial(apply_block_abs_jacobi, v, winv,
+                                 jnp.asarray(gather), jnp.asarray(out_pos))
+    chol = _block_jacobi_factors(ypts, valid, kernel_name=kernel_name)
     return functools.partial(apply_block_jacobi, chol,
                              jnp.asarray(gather), jnp.asarray(out_pos))
 
@@ -535,16 +618,19 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
              tol: float = 1e-6, max_iters: int = 1000,
              matvec: Optional[Callable] = None,
              precond: Optional[Callable] = None,
-             indefinite_method: str = "minres"):
+             indefinite_method: str = "auto"):
     """Matrix-free (preconditioned) Krylov solve of K b = rhs.
 
     For SPD kernels, (preconditioned) CG on K.  For indefinite kernels
     (inverse-distance), MINRES directly on the symmetric K — one matvec
     per iteration at condition kappa(K), against CG on the normal
-    equations (two matvecs per iteration on K² at kappa²), which remains
-    available as indefinite_method="normal" and is the automatic
-    fallback when a preconditioner is supplied (the Nyström factors
-    precondition the SPD K², and MINRES needs an SPD preconditioner).
+    equations (two matvecs per iteration on K² at kappa²), available as
+    indefinite_method="normal".  The "auto" default keeps the
+    historical routing: MINRES when unpreconditioned, normal equations
+    when a preconditioner is supplied (assumed to be the K²-flavored
+    Nyström factors).  indefinite_method="minres" WITH a precond runs
+    preconditioned MINRES — the precond must then be an SPD M⁻¹ of K
+    itself, e.g. block_jacobi_preconditioner(..., indefinite=True).
     `precond` applies M^-1 of the operator actually iterated on.
 
     Returns:
@@ -560,9 +646,20 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         return _pcg(matvec, rhs, tol, max_iters, precond=precond_fn,
                     precond_args=precond_args)
 
-    if indefinite_method == "minres" and precond is None:
+    if indefinite_method == "auto":
+        # Historical default: MINRES when unpreconditioned; a supplied
+        # preconditioner is assumed to be the K²-flavored Nyström factors
+        # and routes to the normal equations.
+        indefinite_method = "minres" if precond is None else "normal"
+    if indefinite_method == "minres":
+        # Preconditioned MINRES on K directly; `precond` (if any) must
+        # apply an SPD M⁻¹ of K itself — e.g. the block spectral-
+        # absolute-value preconditioner.  A K²-flavored preconditioner
+        # (Nyström on the normal equations) belongs to
+        # indefinite_method="normal" instead.
         return _minres(matvec, jnp.asarray(rhs, jnp.float32), tol,
-                       max_iters)
+                       max_iters, precond=precond_fn,
+                       precond_args=precond_args)
     k_rhs = matvec(rhs.astype(jnp.float32))
     return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
                 precond=precond_fn, precond_args=precond_args)

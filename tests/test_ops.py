@@ -435,3 +435,44 @@ class TestEngineWrappers:
             max_iters=50, precond=precond)
         assert int(iters) <= 5
         assert float(residual) < 1e-3
+
+    def test_block_abs_preconditioned_minres(self, rng):
+        """Preconditioned MINRES with the block spectral-absolute-value
+        preconditioner beats plain MINRES on a CLUSTERED indefinite
+        inverse-distance system — the geometry block preconditioning
+        targets (near-field coupling dominates; on a uniform sphere the
+        coupling is global and block-abs measurably hurts, so it stays
+        an opt-in method, not a default)."""
+        from kmb_tpu.ops.product import kernel_matvec
+        from kmb_tpu.ops.solve import block_jacobi_preconditioner
+
+        m, kernel = 1024, "inverse-distance"
+        centers = 10.0 * rng.standard_normal((16, 3))
+        y = (centers[rng.integers(0, 16, m)]
+             + 0.05 * rng.standard_normal((m, 3))).astype(np.float32)
+        yj = jnp.asarray(y)
+        b = jnp.asarray(rng.standard_normal((m, 1)), jnp.float32)
+        rhs = kernel_matvec(yj, yj, b, kernel_name=kernel)
+
+        plain, it_plain, res_plain = cg_solve(
+            yj, rhs, kernel_name=kernel, tol=1e-5, max_iters=3000)
+        precond = block_jacobi_preconditioner(
+            y, kernel_name=kernel, leaf=64, indefinite=True)
+        pre, it_pre, res_pre = cg_solve(
+            yj, rhs, kernel_name=kernel, tol=1e-5, max_iters=3000,
+            precond=precond, indefinite_method="minres")
+
+        assert int(it_pre) < int(it_plain)
+        assert float(res_pre) <= max(float(res_plain), 1e-4)
+
+    def test_block_abs_precond_is_spd(self, rng):
+        from kmb_tpu.ops.solve import block_jacobi_preconditioner
+
+        m = 96
+        y = rng.standard_normal((m, 3)).astype(np.float32)
+        precond = block_jacobi_preconditioner(
+            y, kernel_name="inverse-distance", leaf=64, indefinite=True)
+        minv = np.asarray(precond(jnp.eye(m, dtype=jnp.float32)))
+        assert np.allclose(minv, minv.T, atol=1e-4 * np.abs(minv).max())
+        w = np.linalg.eigvalsh(0.5 * (minv + minv.T))
+        assert (w > 0).all()
