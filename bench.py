@@ -149,7 +149,15 @@ def run_blr(cfg, runs):
 
     m, d = cfg["m"], cfg["d"]
     rng = np.random.default_rng(0)
-    y = rng.random((m, d)).astype(np.float32)
+    if cfg.get("geometry", "sphere") == "sphere":
+        # BEM home turf (reference htool.py:9-12): a 2-D SURFACE in 3-D.
+        # Surface point clouds are what H-matrix compression is built
+        # for — far-field admissible pairs dominate; a volume cloud
+        # (uniform cube) compresses measurably worse.
+        from kmb_tpu.datasets import fibonacci_sphere
+        y = fibonacci_sphere(m).astype(np.float32)
+    else:
+        y = rng.random((m, d)).astype(np.float32)
     b = rng.standard_normal((m, 1)).astype(np.float32)
     yj = jax.device_put(jnp.asarray(y))
     bj = jax.device_put(jnp.asarray(b))
@@ -367,9 +375,9 @@ SUITE = [
          precision="float32", tol=1e-4, max_iters=600, precond_rank=512),
     # BLR — the H-matrix (Htool) slot on its home turf: the singular
     # inverse-distance kernel, adaptive-epsilon compression.
-    dict(name="blr-invdist-D3-M131072-eps1e-3", task="blr",
+    dict(name="blr-invdist-sphere-D3-M131072-eps1e-3", task="blr",
          kernel="inverse-distance", m=131072, d=3, leaf=256, rank=64,
-         eta=2.0, epsilon=1e-3),
+         eta=2.0, epsilon=1e-3, geometry="sphere"),
 ]
 
 
