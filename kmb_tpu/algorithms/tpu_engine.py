@@ -171,10 +171,10 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         if precond not in ("nystrom", "jacobi"):
             raise ValueError(f"precond must be 'nystrom' or 'jacobi', "
                              f"not {precond!r}.")
-        # precond='jacobi' supports both regimes: SPD kernels get
-        # Cholesky block solves with PCG; the indefinite inverse-distance
-        # kernel gets the SPD block spectral-absolute-value variant with
-        # preconditioned MINRES (ops/solve.py).
+        # precond='jacobi' supports both regimes with one spectral
+        # factorization (ops/solve.py _block_abs_factors): SPD kernels
+        # run PCG with block solves; the indefinite inverse-distance
+        # kernel runs preconditioned MINRES with |K_b|^-1 blocks.
         self.tol = tol
         self.max_iters = max_iters
         self.precond_rank = int(precond_rank)
@@ -214,8 +214,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         if self.precond_type == "jacobi":
             self._precond_fn = block_jacobi_preconditioner(
                 np.asarray(self.y), kernel_name=self.kernel,
-                leaf=min(self.leaf, self.y.shape[0]),
-                indefinite=self.kernel not in SPD_KERNELS)
+                leaf=min(self.leaf, self.y.shape[0]))
             hard_fence(self._precond_fn.args[0])
         elif self.precond_rank > 0:
             rank = min(self.precond_rank, self.y.shape[0])

@@ -441,43 +441,25 @@ def _minres(matvec: Callable, rhs, tol: float, max_iters: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_name",))
-def _block_jacobi_factors(ypts, valid, *, kernel_name: str):
-    """Batched Cholesky factors of the diagonal kernel blocks.
+def _block_abs_factors(ypts, valid, *, kernel_name: str):
+    """Batched |K_block|^-1 spectral factors of the diagonal kernel blocks.
 
     ypts (B, leaf, D) blocked points, valid (B, leaf) real-point mask
-    (pads duplicate a real row of their own block).  Pad rows/columns are
-    masked to identity so each factorized block is the SPD principal
-    submatrix of K on its real points, extended by 1s on pads — the pad
-    components of a solve pass through untouched and are dropped by the
-    scatter.  A small diagonal jitter keeps float32 Cholesky away from
-    breakdown on nearly-rank-deficient blocks (coincident points).
-    """
-    leaf = ypts.shape[1]
+    (pads duplicate a real row of their own block; pad rows/columns are
+    masked to identity so pad solve components pass through and are
+    dropped by the scatter).  One spectral path serves both regimes:
 
-    def one(yb, vb):
-        k = kernel_matrix_xla(yb, yb, kernel_name=kernel_name,
-                              mask_diagonal=False)
-        mask = jnp.logical_and(vb[:, None], vb[None, :])
-        k = jnp.where(mask, k, 0.0)
-        diag = jnp.where(vb, 1e-5, 1.0)
-        k = k + jnp.diag(diag)
-        return jax.scipy.linalg.cholesky(k, lower=True)
+    - SPD kernels (|K_b| = K_b): the eigenvalue floor makes this robust
+      where float32 Cholesky reliably breaks down — a 512-point gaussian
+      unit-cube block has numerical rank ~40 and rounding-scale negative
+      eigenvalues ~leaf*eps, producing NaN factors under any fixed
+      jitter.
+    - Indefinite kernels (inverse-distance: zero diagonal, singular
+      decay): |K_b| = V |w| V^T is the canonical SPD surrogate — it
+      shares K_b's eigenbasis and magnitudes, so |K_b|^-1 K has a
+      clustered local spectrum, exactly what preconditioned MINRES
+      wants (it requires an SPD preconditioner).
 
-    del leaf
-    return jax.vmap(one)(ypts, valid)
-
-
-@functools.partial(jax.jit, static_argnames=("kernel_name",))
-def _block_abs_factors(ypts, valid, *, kernel_name: str):
-    """Batched |K_block|^-1 spectral factors for INDEFINITE kernels.
-
-    The inverse-distance diagonal blocks (zero diagonal, singular
-    off-diagonal decay) are symmetric indefinite, so Cholesky is
-    unavailable and a block inverse would be an indefinite
-    preconditioner.  The matrix absolute value |K_b| = V |w| V^T is the
-    canonical SPD surrogate: it shares K_b's eigenbasis and magnitudes,
-    so |K_b|^-1 K has clustered +-1-ish local spectrum — exactly what
-    preconditioned MINRES wants (it requires an SPD preconditioner).
     Returns (V, winv) with winv = 1 / max(|w|, floor).
     """
 
@@ -504,37 +486,23 @@ def apply_block_abs_jacobi(v, winv, gather, out_pos, x):
     return sol.reshape(-1, x.shape[1])[out_pos]
 
 
-@jax.jit
-def apply_block_jacobi(chol, gather, out_pos, v):
-    """P^-1 v for the block-Jacobi preconditioner (batched cho_solve).
-
-    Built by `block_jacobi_preconditioner`; SPD by construction, so it
-    composes with CG directly.  Cost per application: B batched
-    (leaf, leaf) triangular solves — O(M * leaf) flops, negligible next
-    to the O(M^2) streaming matvec it preconditions.
-    """
-    vb = v.astype(jnp.float32)[gather]                      # (B, leaf, E)
-    sol = jax.vmap(lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(
-        chol, vb)
-    return sol.reshape(-1, v.shape[1])[out_pos]
-
-
-def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512,
-                                indefinite: bool = False):
+def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512):
     """Block-Jacobi preconditioner from a balanced geometric clustering.
 
     The classic H-matrix-adjacent alternative to the Nyström spectral
     preconditioner: cluster the points with the BLR balanced bisection
     (ops/blr.py), factor every (leaf, leaf) diagonal kernel block once
-    (batched Cholesky on the MXU), and apply all block solves batched.
+    (batched spectral factorization — see _block_abs_factors for why
+    not Cholesky), and apply all block solves as batched matmuls.
     Where Nyström flattens the global top spectrum (best for fast
     spectral decay — Gaussian), block-Jacobi captures the strong LOCAL
     coupling of slowly-decaying kernels like absolute-exponential, whose
     spectrum Nyström cannot summarize at practical ranks
     (VERDICT round-2 #5; reference accuracy bar: bruteforce.py:205-207).
 
-    Returns a `functools.partial(apply_block_jacobi, ...)` ready to pass
-    as `precond` to `cg_solve` (stable jit identity via _split_static).
+    Returns a `functools.partial(apply_block_abs_jacobi, ...)` ready to
+    pass as `precond` to `cg_solve` (stable jit identity via
+    _split_static).
     """
     from kmb_tpu.ops.blr import _cluster
 
@@ -546,12 +514,8 @@ def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512,
     flat_gid = gid.reshape(-1)
     real = flat_gid >= 0
     out_pos[flat_gid[real]] = np.nonzero(real)[0]
-    if indefinite:
-        v, winv = _block_abs_factors(ypts, valid, kernel_name=kernel_name)
-        return functools.partial(apply_block_abs_jacobi, v, winv,
-                                 jnp.asarray(gather), jnp.asarray(out_pos))
-    chol = _block_jacobi_factors(ypts, valid, kernel_name=kernel_name)
-    return functools.partial(apply_block_jacobi, chol,
+    v, winv = _block_abs_factors(ypts, valid, kernel_name=kernel_name)
+    return functools.partial(apply_block_abs_jacobi, v, winv,
                              jnp.asarray(gather), jnp.asarray(out_pos))
 
 
@@ -630,7 +594,7 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
     when a preconditioner is supplied (assumed to be the K²-flavored
     Nyström factors).  indefinite_method="minres" WITH a precond runs
     preconditioned MINRES — the precond must then be an SPD M⁻¹ of K
-    itself, e.g. block_jacobi_preconditioner(..., indefinite=True).
+    itself, e.g. the spectral block_jacobi_preconditioner.
     `precond` applies M^-1 of the operator actually iterated on.
 
     Returns:

@@ -415,8 +415,7 @@ class TestEngineWrappers:
     def test_block_jacobi_is_spd_and_block_exact(self, rng):
         """P^-1 is SPD, and on a single-block problem (leaf >= m) it is
         the exact inverse: PCG converges in O(1) iterations."""
-        from kmb_tpu.ops.solve import (apply_block_jacobi,
-                                       block_jacobi_preconditioner)
+        from kmb_tpu.ops.solve import block_jacobi_preconditioner
 
         m, kernel = 96, "gaussian"
         y = rng.standard_normal((m, 3)).astype(np.float32)
@@ -457,7 +456,7 @@ class TestEngineWrappers:
         plain, it_plain, res_plain = cg_solve(
             yj, rhs, kernel_name=kernel, tol=1e-5, max_iters=3000)
         precond = block_jacobi_preconditioner(
-            y, kernel_name=kernel, leaf=64, indefinite=True)
+            y, kernel_name=kernel, leaf=64)
         pre, it_pre, res_pre = cg_solve(
             yj, rhs, kernel_name=kernel, tol=1e-5, max_iters=3000,
             precond=precond, indefinite_method="minres")
@@ -471,7 +470,7 @@ class TestEngineWrappers:
         m = 96
         y = rng.standard_normal((m, 3)).astype(np.float32)
         precond = block_jacobi_preconditioner(
-            y, kernel_name="inverse-distance", leaf=64, indefinite=True)
+            y, kernel_name="inverse-distance", leaf=64)
         minv = np.asarray(precond(jnp.eye(m, dtype=jnp.float32)))
         assert np.allclose(minv, minv.T, atol=1e-4 * np.abs(minv).max())
         w = np.linalg.eigvalsh(0.5 * (minv + minv.T))
