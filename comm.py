@@ -111,6 +111,13 @@ def probe(schedule, p, n, d, e):
     """Compile the sharded program in a subprocess; return HLO facts."""
     code = _PROBE % dict(schedule=schedule, p=p, n=n, d=d, e=e)
     env = dict(os.environ)
+    # The probe is a compile-only CPU-mesh run: force the CPU platform in
+    # the child no matter what the parent exported, or kmb_tpu/__init__
+    # would re-apply an inherited KMB_PLATFORM=tpu AFTER the probe code
+    # sets jax_platforms=cpu — each probe subprocess would then grab (and
+    # risk wedging) the real chip for a run that needs no TPU at all.
+    env["KMB_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",

@@ -37,7 +37,7 @@ from kmb_tpu.ops.kernels import KERNELS
 from kmb_tpu.ops.product import kernel_matvec
 from kmb_tpu.ops.solve import (
     SPD_KERNELS, apply_nystrom_precond, block_jacobi_preconditioner,
-    cg_solve, dense_apply, dense_factor, nystrom_preconditioner,
+    cg_solve, dense_apply, dense_factor, ir_solve, nystrom_preconditioner,
 )
 
 
@@ -164,6 +164,7 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
     def __init__(self, *, kernel, dimension, normalize_rows=False,
                  precision="float32", tol=1e-6, max_iters=1000,
                  precond_rank=0, precond="nystrom", leaf=512,
+                 refine_iters=0, inner_tol=1e-5,
                  block_n=None, block_m=None):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
@@ -175,18 +176,27 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         # factorization (ops/solve.py _block_abs_factors): SPD kernels
         # run PCG with block solves; the indefinite inverse-distance
         # kernel runs preconditioned MINRES with |K_b|^-1 blocks.
+        # refine_iters > 0 switches the query to mixed-precision
+        # iterative refinement (ops/solve.py ir_solve): float64 host
+        # residuals around float32 TPU correction solves, reusing this
+        # solver's preconditioner across all outer iterations.
         self.tol = tol
         self.max_iters = max_iters
         self.precond_rank = int(precond_rank)
         self.precond_type = precond
         self.leaf = int(leaf)
+        self.refine_iters = int(refine_iters)
+        self.inner_tol = float(inner_tol)
         self.block_n = block_n
         self.block_m = block_m
         self.iterations = 0
         self.residual = float("nan")
+        self.outer_iterations = 0
         self._precond_fn = None
         self._param_tag = (f"leaf={leaf}" if precond == "jacobi"
                           else f"rank={precond_rank}")
+        if self.refine_iters > 0:
+            self._param_tag += f", ir={self.refine_iters}"
         self.name = (f"TpuSolverCG({precision}, tol={tol}, "
                      f"{self._param_tag})")
 
@@ -227,16 +237,24 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         else:
             self._precond_fn = None
 
-    def set_query_arguments(self, tol=None, max_iters=None):
+    def set_query_arguments(self, tol=None, max_iters=None,
+                            refine_iters=None, inner_tol=None):
         if tol is not None:
             self.tol = tol
         if max_iters is not None:
             self.max_iters = max_iters
+        if refine_iters is not None:
+            self.refine_iters = int(refine_iters)
+        if inner_tol is not None:
+            self.inner_tol = float(inner_tol)
         self.name = (f"TpuSolverCG({self.precision}, tol={self.tol}, "
                      f"{self._param_tag})")
 
     def prepare_query(self, *, target_signal):
         self.rhs = jax.device_put(np.asarray(target_signal, dtype=np.float32))
+        # Kept at float64 on the host for the iterative-refinement outer
+        # residual (never touches the TPU).
+        self.rhs64 = np.ascontiguousarray(target_signal, dtype=np.float64)
 
     def query(self):
         # Routing for the indefinite kernel: the block-abs 'jacobi'
@@ -244,6 +262,24 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         # MINRES; the Nyström factors precondition K² -> normal
         # equations (cg_solve's "auto").
         method = ("minres" if self.precond_type == "jacobi" else "auto")
+        if self.refine_iters > 0:
+            b64, info = ir_solve(
+                self.y, self.rhs64,
+                kernel_name=self.kernel,
+                precision=self.precision,
+                tol=float(self.tol),
+                max_iters=int(self.max_iters),
+                inner_tol=self.inner_tol,
+                refine_iters=self.refine_iters,
+                matvec=self._matvec,
+                precond=self._precond_fn,
+                indefinite_method=method,
+            )
+            self.res = b64  # host float64: already synchronous
+            self.iterations = int(info["inner_iterations"])
+            self.outer_iterations = int(info["outer_iterations"])
+            self.residual = float(info["relative_residual"])
+            return
         b, iters, residual = cg_solve(
             self.y, self.rhs,
             kernel_name=self.kernel,
@@ -256,11 +292,15 @@ class TpuSolverCG(_TpuAlgorithm, BaseSolver):
         )
         self.res = hard_fence(b)
         self.iterations = int(iters)
+        self.outer_iterations = 0
         self.residual = float(residual)
 
     def get_additional(self):
-        return {"cg_iterations": self.iterations,
-                "cg_relative_residual": self.residual}
+        extra = {"cg_iterations": self.iterations,
+                 "cg_relative_residual": self.residual}
+        if self.outer_iterations:
+            extra["ir_outer_iterations"] = self.outer_iterations
+        return extra
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
