@@ -109,29 +109,40 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
                  precision="float32", tol=1e-6, max_iters=1000,
-                 n_devices=None):
+                 precond_rank=0, n_devices=None):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         self._check_kernel(kernel)
         self.tol = tol
         self.max_iters = max_iters
+        self.precond_rank = int(precond_rank)
         self.n_devices = n_devices
         self.iterations = 0
         self.residual = float("nan")
-        self.name = f"ShardedSolverCG({precision}, tol={tol})"
+        tag = f", rank={precond_rank}" if precond_rank else ""
+        self.name = f"ShardedSolverCG({precision}, tol={tol}{tag})"
 
     def prepare_data(self, *, source_points):
         devices = _resolve_devices(self.n_devices)
         self.mesh = make_mesh((len(devices),), ("shard",), devices=devices)
         self.y = np.asarray(source_points, dtype=np.float32)
         # Untimed staging: shard the points and build the stable matvec
-        # object so repeated solves reuse the jitted CG loop.
+        # object so repeated solves reuse the jitted CG loop.  The
+        # Nyström preconditioner build is TIMED (fit), like the
+        # single-chip solver.
         self._prepared = prepare_sharded_cg(
             self.y, mesh=self.mesh, kernel_name=self.kernel,
             precision=self.precision)
 
     def fit(self):
-        pass
+        # TIMED: the sharded Nyström preconditioner build (rank ring
+        # matvecs fused into one sketch pass) — rank=0 keeps it a no-op.
+        if self.precond_rank > 0:
+            from kmb_tpu.parallel.sharded import build_sharded_precond
+            self._prepared = build_sharded_precond(
+                self._prepared, kernel_name=self.kernel,
+                precond_rank=self.precond_rank)
+            hard_fence(self._prepared[3].args[0])
 
     def set_query_arguments(self, tol=None, max_iters=None):
         if tol is not None:

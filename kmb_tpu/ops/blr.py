@@ -624,6 +624,22 @@ class BlrOperator:
     def matvec(self, b) -> jnp.ndarray:
         return self.unblock(self.matvec_blocked(self.block_signal(b)))
 
+    def matvec_device(self, b) -> jnp.ndarray:
+        """Jit-traceable matvec: (M, E) -> (N, E), device ops only.
+
+        Same math as `matvec`, but with the block gather/scatter done in
+        jnp (no host round-trip), so it can serve as the static `matvec`
+        of the jitted Krylov loops (ops/solve.py `_pcg` / `_minres`) —
+        the BLR-accelerated solver path.  Bound-method identity is
+        stable per operator, so the solver's jit cache hits across
+        repeated solves.
+        """
+        plan = self.plan
+        blocked = jnp.asarray(b, jnp.float32)[plan.gather_y]
+        blocked = jnp.where(
+            jnp.asarray(plan.gid_y >= 0)[:, :, None], blocked, 0.0)
+        return self.matvec_blocked(blocked)[plan.out_pos]
+
     @property
     def compression(self) -> float:
         """Dense-entry count over stored+recomputed entry count.

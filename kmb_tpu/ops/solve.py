@@ -520,15 +520,35 @@ def block_jacobi_preconditioner(y, *, kernel_name: str, leaf: int = 512):
 
 
 def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
-                           key=None):
+                           key=None, method: str = "svd",
+                           reduce_out_sharding=None):
     """Randomized Nyström preconditioner factors (U, lam) for an SPD op.
 
-    Sketch K with an orthonormalized Gaussian test matrix and form the
-    rank-`rank` Nyström approximation K ≈ U diag(lam) U^T (the
-    shift-stabilized algorithm of Frangella, Tropp & Udell, "Randomized
-    Nyström Preconditioning", 2021 — public method, reimplemented here).
-    The sketch costs `rank` kernel matvecs, fused into ONE streaming
-    engine call with E=rank, i.e. a perfect MXU workload.
+    Sketch K with a Gaussian test matrix and form the rank-`rank`
+    Nyström approximation K ≈ U diag(lam) U^T (the shift-stabilized
+    algorithm of Frangella, Tropp & Udell, "Randomized Nyström
+    Preconditioning", 2021 — public method, reimplemented here).  The
+    sketch costs `rank` kernel matvecs, fused into ONE streaming engine
+    call with E=rank, i.e. a perfect MXU workload.
+
+    method="svd" (single-chip default): orthonormalize the test matrix
+    with tall QR and extract U from a tall SVD — the most accurate
+    float32 route.
+
+    method="gram": no tall dense factorization at all — the whitening
+    and the eigenbasis both come from (rank, rank) Gram eigendecomposi-
+    tions, and every tall operation is a tall-skinny matmul.  This is
+    the DISTRIBUTED path: with `matvec` a sharded ring matvec and omega
+    row-sharded, XLA lowers the Gram products to local matmuls + psum,
+    whereas tall QR/SVD reject sharded operands outright
+    (ShardingTypeError).  Gram squaring caps the resolvable spectrum at
+    sqrt(eps_f32) ~ 3e-4 of lam_0 — far below `apply_nystrom_precond`'s
+    1e-4 relative floor, so preconditioning quality is unaffected.
+
+    `reduce_out_sharding` (gram path only): under an EXPLICIT-mode mesh
+    (jax.make_mesh default), contractions over the sharded row axis are
+    ambiguous and need the replicated output sharding spelled out — pass
+    `PartitionSpec()`.
 
     Returns (U, lam): U (m, rank) orthonormal, lam (rank,) >= 0
     descending.
@@ -538,23 +558,52 @@ def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
     # All small matmuls at HIGHEST: on TPU the default bf16 passes perturb
     # the r x r Gram enough to make it indefinite (NaN factorizations).
     mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    reduce_kw = ({} if reduce_out_sharding is None
+                 else {"out_sharding": reduce_out_sharding})
+    tiny = jnp.finfo(jnp.float32).tiny
     omega = jax.random.normal(key, (m, rank), jnp.float32)
-    omega, _ = jnp.linalg.qr(omega)
+    if method == "svd":
+        omega, _ = jnp.linalg.qr(omega)
     sketch = matvec(omega)                                  # K @ Omega
     # Stabilizing shift at the float32 noise scale of the sketch.
     nu = jnp.sqrt(jnp.asarray(m, jnp.float32)) * jnp.finfo(jnp.float32).eps \
         * jnp.linalg.norm(sketch)
     sketch_nu = sketch + nu * omega
-    gram = mm(omega.T, sketch_nu)
+    gram = mm(omega.T, sketch_nu, **reduce_kw)
     gram = 0.5 * (gram + gram.T)
     # eigh-based inverse square root instead of Cholesky: tolerates the
-    # residual indefiniteness a float32 Gram can carry.
+    # residual indefiniteness a float32 Gram can carry.  (The Nyström
+    # formula K_hat = S (Omega^T S)^-1 S^T needs no orthonormal Omega,
+    # so the gram path's skipped QR only affects conditioning.)
     w, v = jnp.linalg.eigh(gram)
-    w = jnp.maximum(w, jnp.finfo(jnp.float32).tiny)
+    w = jnp.maximum(w, tiny)
     half = mm(sketch_nu, v / jnp.sqrt(w)[None, :])          # (m, rank)
-    u, s, _ = jnp.linalg.svd(half, full_matrices=False)
-    lam = jnp.maximum(s * s - nu, 0.0)
+    if method == "svd":
+        u, s, _ = jnp.linalg.svd(half, full_matrices=False)
+        lam = jnp.maximum(s * s - nu, 0.0)
+        return u, lam
+    # Gram route: half = U diag(s) V^T  =>  half^T half = V s^2 V^T.
+    g2 = mm(half.T, half, **reduce_kw)
+    g2 = 0.5 * (g2 + g2.T)
+    s2, v2 = jnp.linalg.eigh(g2)                            # ascending
+    s2 = jnp.maximum(s2, tiny)
+    u = mm(half, v2 / jnp.sqrt(s2)[None, :])
+    u = u[:, ::-1]                                          # descending
+    lam = jnp.maximum(s2[::-1] - nu, 0.0)
     return u, lam
+
+
+def _nystrom_apply(u, lam, v, reduce_kw, rel_floor: float = 1e-4):
+    """Shared P^-1 math; `reduce_kw` carries the out_sharding for the
+    row-axis contraction when u/v are sharded under an explicit-mode
+    mesh (parallel/sharded.py ShardedNystromApply)."""
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    lam_r = jnp.maximum(
+        jnp.maximum(lam[-1], rel_floor * lam[0]),
+        jnp.finfo(jnp.float32).tiny)
+    lam_safe = jnp.maximum(lam, lam_r)
+    utv = mm(u.T, v, **reduce_kw)
+    return mm(u, (lam_r / lam_safe)[:, None] * utv) + (v - mm(u, utv))
 
 
 def apply_nystrom_precond(u, lam, v, *, rel_floor: float = 1e-4):
@@ -569,13 +618,7 @@ def apply_nystrom_precond(u, lam, v, *, rel_floor: float = 1e-4):
     diverge — below the floor the preconditioner smoothly degrades to the
     identity.
     """
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    lam_r = jnp.maximum(
-        jnp.maximum(lam[-1], rel_floor * lam[0]),
-        jnp.finfo(jnp.float32).tiny)
-    lam_safe = jnp.maximum(lam, lam_r)
-    utv = mm(u.T, v)
-    return mm(u, (lam_r / lam_safe)[:, None] * utv) + (v - mm(u, utv))
+    return _nystrom_apply(u, lam, v, {}, rel_floor)
 
 
 def f64_residual_matvec(y, *, kernel_name: str):
@@ -609,7 +652,8 @@ def ir_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
              matvec: Optional[Callable] = None,
              precond: Optional[Callable] = None,
              indefinite_method: str = "auto",
-             residual_matvec: Optional[Callable] = None):
+             residual_matvec: Optional[Callable] = None,
+             inner_solve: Optional[Callable] = None):
     """Mixed-precision iterative-refinement solve of K b = rhs.
 
     The SURVEY §7 "mixed-precision CG" plan: the outer loop keeps the
@@ -627,6 +671,13 @@ def ir_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
     The correction rhs is rescaled to unit column norm before the f32
     inner solve (the residual shrinks by orders of magnitude per outer
     iteration; rescaling keeps the inner solver in well-scaled f32).
+
+    `inner_solve` overrides the default `cg_solve` correction solver: a
+    callable (M, E) f32 rhs -> (delta, iterations, residual).  This is
+    how the BLR-accelerated solver refines past its compression floor —
+    inner iterations ride the cheap compressed matvec while the outer
+    float64 residual is exact (the H-matrix + refinement combination
+    Htool's ecosystem never wired into the reference, htool.py:106-132).
 
     Returns:
         (b, info): b float64 (M, E); info dict with outer/inner iteration
@@ -648,11 +699,14 @@ def ir_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         scale = float(np.max(np.linalg.norm(r64, axis=0)))
         if scale == 0.0:
             break
-        delta, inner_iters, _ = cg_solve(
-            y, jnp.asarray(r64 / scale, jnp.float32),
-            kernel_name=kernel_name, precision=precision, tol=inner_tol,
-            max_iters=max_iters, matvec=matvec, precond=precond,
-            indefinite_method=indefinite_method)
+        r_scaled = jnp.asarray(r64 / scale, jnp.float32)
+        if inner_solve is not None:
+            delta, inner_iters, _ = inner_solve(r_scaled)
+        else:
+            delta, inner_iters, _ = cg_solve(
+                y, r_scaled, kernel_name=kernel_name, precision=precision,
+                tol=inner_tol, max_iters=max_iters, matvec=matvec,
+                precond=precond, indefinite_method=indefinite_method)
         total_inner += int(inner_iters)
         b_new = b64 + np.asarray(delta, dtype=np.float64) * scale
         r_new = rhs64 - residual_matvec(b_new)

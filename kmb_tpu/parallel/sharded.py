@@ -43,7 +43,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from kmb_tpu.ops.kernels import get_kernel
 from kmb_tpu.ops.product import FLASH_NEG_INF, _ceil_to, kernel_matvec
-from kmb_tpu.ops.solve import SPD_KERNELS, _minres, _pcg
+from kmb_tpu.ops.solve import (
+    SPD_KERNELS, NormalEquationsOp, _minres, _nystrom_apply, _pcg,
+    _split_static, nystrom_preconditioner)
 
 
 def make_mesh(shape=None, axis_names=None, devices=None) -> Mesh:
@@ -384,8 +386,23 @@ class RingMatvec:
 
 
 def prepare_sharded_cg(y, *, mesh: Mesh, kernel_name: str,
-                       precision: str = "float32"):
-    """Shard + pad the source points and build the stable CG matvec."""
+                       precision: str = "float32", precond_rank: int = 0):
+    """Shard + pad the source points and build the stable CG matvec.
+
+    With `precond_rank > 0`, also builds the Nyström preconditioner from
+    the RING matvec itself — the sketch is `rank` sharded kernel matvecs
+    fused into one ring pass, and the resulting (m_pad, rank) factors
+    live as ordinary device arrays that XLA reshards into the CG loop
+    (the preconditioner apply is two tall-skinny matmuls whose row
+    dimension follows the iterate's sharding).  Same routing as the
+    single-chip solver (ops/solve.py cg_solve): the sketch operator is K
+    for SPD kernels and K² (normal equations) for the indefinite
+    inverse-distance kernel.  Padded rows: K's pad rows/cols are masked
+    to zero, so the sketch — and hence U — has zero pad rows, and the
+    identity leg of the preconditioner passes pad rows through; pad
+    residual rows start zero and stay zero, exactly as without
+    preconditioning.
+    """
     axis = mesh.axis_names[0]
     p = mesh.shape[axis]
     m = y.shape[0]
@@ -398,35 +415,111 @@ def prepare_sharded_cg(y, *, mesh: Mesh, kernel_name: str,
         _pad_rows(jnp.asarray(y, jnp.float32), m_pad), sharding)
     matvec = RingMatvec(y_pad, mesh=mesh, kernel_name=kernel_name,
                         precision=precision, m=m)
-    return matvec, sharding, m_pad
+    prepared = (matvec, sharding, m_pad, None)
+    if precond_rank > 0:
+        prepared = build_sharded_precond(
+            prepared, kernel_name=kernel_name, precond_rank=precond_rank)
+    return prepared
+
+
+class ShardedNystromApply:
+    """Nyström P⁻¹ apply with explicit-mode-safe contractions.
+
+    `jax.make_mesh` produces EXPLICIT-mode meshes: contracting the
+    sharded row axis of (m, rank) U against the sharded iterate is
+    ambiguous to the type system, so the (rank, E) product must request
+    a replicated output sharding.  A class (rather than a closure) so
+    `_pcg`'s static-precond jit cache hits across solves: hash/eq are
+    by mesh + floor, and the factor arrays travel as dynamic args via
+    `functools.partial(instance, u, lam)` (ops/solve.py _split_static).
+    """
+
+    def __init__(self, mesh: Mesh, rel_floor: float = 1e-4):
+        self.mesh = mesh
+        self.rel_floor = float(rel_floor)
+
+    def __call__(self, u, lam, v):
+        reduce_kw = {"out_sharding": NamedSharding(self.mesh, P())}
+        return _nystrom_apply(u, lam, v, reduce_kw, self.rel_floor)
+
+    def __hash__(self):
+        return hash(("sharded-nystrom-apply", self.mesh, self.rel_floor))
+
+    def __eq__(self, other):
+        return (isinstance(other, ShardedNystromApply)
+                and self.mesh == other.mesh
+                and self.rel_floor == other.rel_floor)
+
+
+def build_sharded_precond(prepared, *, kernel_name: str, precond_rank: int):
+    """Attach Nyström factors (built from the ring matvec) to `prepared`.
+
+    Split from `prepare_sharded_cg` so the harness wrapper can stage the
+    sharded points untimed and run the preconditioner build inside the
+    TIMED `fit`, matching the single-chip solver's phase accounting.
+    """
+    matvec, sharding, m_pad, _ = prepared
+    rank = min(int(precond_rank), matvec.m)
+    op = (matvec if kernel_name in SPD_KERNELS
+          else NormalEquationsOp(matvec))
+    # method="gram": the build stays fully sharded — tall-skinny matmuls
+    # + (rank, rank) eighs, no tall QR/SVD (which reject sharded
+    # operands).  The factors inherit the iterate's row sharding; the
+    # explicit-mode mesh needs the replicated Gram output spelled out.
+    u, lam = nystrom_preconditioner(
+        op, m_pad, rank, method="gram",
+        reduce_out_sharding=NamedSharding(matvec.mesh, P()))
+    precond = functools.partial(ShardedNystromApply(matvec.mesh), u, lam)
+    return matvec, sharding, m_pad, precond
 
 
 def sharded_cg_solve(y, rhs, *, mesh: Mesh, kernel_name: str,
                      precision: str = "float32", tol: float = 1e-6,
                      max_iters: int = 1000, schedule: str = "ring",
-                     prepared=None):
-    """Matrix-free CG whose matvec is the sharded kernel product.
+                     precond_rank: int = 0, prepared=None):
+    """Matrix-free (preconditioned) CG whose matvec is the sharded
+    kernel product.
 
     The iteration state lives as sharded global arrays; dot products are
     global reductions XLA lowers to psums over the mesh.  Iteration counts
     are deterministic and identical to the single-chip solver because the
     matvec is numerically identical (same tiles, same masks).
 
-    `prepared` (from `prepare_sharded_cg`) reuses the sharded points and
-    the stable matvec across repeated solves — required for the jit cache
-    of the CG loop to hit on runs after the first.
+    `precond_rank > 0` enables the Nyström preconditioner built from the
+    ring matvec (see `prepare_sharded_cg`): the same spectral
+    preconditioning the single-chip solver demonstrates (1.3–1.6×), now
+    psum-compatible — the apply is two (m, rank) matmuls on the sharded
+    iterate.  For the indefinite inverse-distance kernel the
+    preconditioned path routes to CG on the NORMAL equations with the
+    K²-flavored factors, mirroring ops/solve.py cg_solve's "auto".
+
+    `prepared` (from `prepare_sharded_cg`) reuses the sharded points,
+    the stable matvec, and the preconditioner factors across repeated
+    solves — required for the jit cache of the CG loop to hit on runs
+    after the first.
     """
     del schedule  # the ring schedule is the memory-scalable CG matvec
     m = y.shape[0]
     if prepared is None:
         prepared = prepare_sharded_cg(
-            y, mesh=mesh, kernel_name=kernel_name, precision=precision)
-    matvec, sharding, m_pad = prepared
+            y, mesh=mesh, kernel_name=kernel_name, precision=precision,
+            precond_rank=precond_rank)
+    matvec, sharding, m_pad, precond = prepared
+    precond_fn, precond_args = _split_static(precond)
     rhs_pad = jax.device_put(
         _pad_rows(jnp.asarray(rhs, jnp.float32), m_pad), sharding)
 
     if kernel_name in SPD_KERNELS:
-        b, iters, residual = _pcg(matvec, rhs_pad, tol, max_iters)
+        b, iters, residual = _pcg(matvec, rhs_pad, tol, max_iters,
+                                  precond=precond_fn,
+                                  precond_args=precond_args)
+    elif precond is not None:
+        # Indefinite + Nyström factors (K²-flavored): normal equations,
+        # like the single-chip "auto" routing.
+        k_rhs = matvec(rhs_pad)
+        b, iters, residual = _pcg(NormalEquationsOp(matvec), k_rhs, tol,
+                                  max_iters, precond=precond_fn,
+                                  precond_args=precond_args)
     else:
         # Symmetric indefinite (inverse-distance): MINRES on K directly,
         # same choice as the single-chip solver (ops/solve.py cg_solve).

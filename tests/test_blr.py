@@ -3,6 +3,9 @@
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
 from kmb_tpu.algorithms.tpu_approx import BlrProduct
 from kmb_tpu.ops.blr import BlrOperator, build_plan
@@ -236,3 +239,70 @@ def test_blr_density_estimation(rng):
                             density_estimation=True)
     want = _truth("gaussian", y, y, np.ones((130, 1)))
     np.testing.assert_allclose(res, want, rtol=2e-4, atol=2e-5)
+
+
+class TestBlrSolver:
+    """BLR-accelerated Krylov solver (tpu_approx.BlrSolver): MINRES on the
+    compressed operator, optional exact-residual refinement."""
+
+    def _system(self, rng, m=512, kernel="inverse-distance"):
+        from kmb_tpu.algorithms.bruteforce_numpy import kernel_matrix
+        y = rng.random((m, 3)).astype(np.float32)
+        b = rng.standard_normal((m, 1)).astype(np.float64)
+        k = kernel_matrix(kernel=kernel, source_points=y.astype(np.float64))
+        return y, b, k, k @ b
+
+    def test_matvec_device_matches_matvec(self, rng):
+        y = rng.random((300, 3)).astype(np.float32)
+        b = rng.standard_normal((300, 2)).astype(np.float32)
+        op = BlrOperator(y, y, kernel_name="gaussian", leaf=32, rank=32,
+                         eta=1.0, same_points=True)
+        host = np.asarray(op.matvec(b))
+        dev = np.asarray(jax.jit(op.matvec_device)(jnp.asarray(b)))
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+    def test_blr_solver_direct_floors_at_compression(self, rng):
+        from kmb_tpu.algorithms.tpu_approx import BlrSolver
+
+        y, b, k, rhs = self._system(rng)
+        algo = BlrSolver(kernel="inverse-distance", dimension=3, leaf=64,
+                         rank=64, eta=1.0, tol=1e-6, max_iters=2000)
+        algo.prepare_data(source_points=y.astype(np.float64))
+        algo.fit()
+        algo.prepare_query(target_signal=rhs)
+        algo.query()
+        got = algo.get_result()
+        extra = algo.get_additional()
+        # rank == leaf: the compressed operator is near-exact, so the
+        # MINRES solution solves the true system too.
+        res = np.linalg.norm(rhs - k @ got) / np.linalg.norm(rhs)
+        assert extra["cg_iterations"] > 0
+        assert res < 1e-3
+        assert extra["true_relative_residual"] == pytest.approx(res,
+                                                                rel=0.5)
+
+    def test_blr_solver_refinement_beats_direct(self, rng):
+        from kmb_tpu.algorithms.tpu_approx import BlrSolver
+
+        y, b, k, rhs = self._system(rng)
+
+        def run(refine_iters):
+            algo = BlrSolver(kernel="inverse-distance", dimension=3,
+                             leaf=64, rank=32, eta=1.0, tol=1e-10,
+                             max_iters=2000, refine_iters=refine_iters,
+                             inner_tol=1e-4)
+            algo.prepare_data(source_points=y.astype(np.float64))
+            algo.fit()
+            algo.prepare_query(target_signal=rhs)
+            algo.query()
+            got = algo.get_result()
+            return (np.linalg.norm(rhs - k @ got) / np.linalg.norm(rhs),
+                    algo.get_additional())
+
+        res_direct, _ = run(0)
+        res_ir, extra = run(4)
+        # Exact-residual refinement contracts past the rank-32
+        # compression floor of the direct BLR solve.
+        assert extra["ir_outer_iterations"] >= 2
+        assert res_ir < res_direct / 5
+        assert res_ir < 1e-4
