@@ -160,6 +160,18 @@ class NormalEquationsOp:
 
 PCG_STALL_WINDOW = 60
 
+# MINRES requires an SPD preconditioner: r' M^-1 r is its squared Lanczos
+# beta, and a negative value means M^-1 is indefinite — user error.  The
+# production path clamps to 0 (degrading gracefully, like the rest of the
+# float32 pipeline); KMB_DEBUG_SPD_PRECOND=1 switches to a NaN-propagating
+# sqrt so the misuse surfaces immediately instead of stalling (the
+# debug-mode analog of SciPy minres's "non-symmetric matrix" error).
+_DEBUG_SPD_PRECOND = os.environ.get("KMB_DEBUG_SPD_PRECOND", "0") == "1"
+
+
+def _beta_sq(value):
+    return value if _DEBUG_SPD_PRECOND else jnp.maximum(value, 0.0)
+
 
 def _split_static(fn: Optional[Callable]):
     """Split a callable into (static_fn, dynamic_args) for jit caching.
@@ -297,7 +309,7 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
 def _minres_init(rhs, precond: Optional[Callable] = None, precond_args=()):
     rhs = rhs.astype(jnp.float32)
     y = rhs if precond is None else precond(*precond_args, rhs)
-    beta1_sq = jnp.maximum(jnp.sum(rhs * y, axis=0), 0.0)   # (E,)
+    beta1_sq = _beta_sq(jnp.sum(rhs * y, axis=0))           # (E,)
     beta1 = jnp.sqrt(beta1_sq)
     zeros = jnp.zeros_like(rhs)
     zcol = jnp.zeros_like(beta1)
@@ -356,7 +368,7 @@ def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
         r1, r2 = r2, p
         y = psolve(r2)
         oldb = beta
-        beta = jnp.sqrt(jnp.maximum(jnp.sum(r2 * y, axis=0), 0.0))
+        beta = jnp.sqrt(_beta_sq(jnp.sum(r2 * y, axis=0)))
         # Two previous Givens rotations applied to the new tridiagonal
         # column, then the new rotation annihilating beta.
         oldeps = epsln
