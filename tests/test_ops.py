@@ -128,6 +128,26 @@ def test_bfloat16_precision_tier(problem):
     assert rel < 0.05
 
 
+def test_attention_bf16_keeps_f32_flash_state(rng):
+    """bf16 attention: inputs/MXU pass are bf16, but the online-softmax
+    state (running max, normalizer, accumulator) must stay float32 —
+    a bf16 normalizer summing thousands of near-equal terms would
+    saturate at ~2^8 (8-bit mantissa) and wreck every row.  Error at
+    bf16-INPUT scale proves the f32 state (product.py scratch_shapes)."""
+    m = 4096
+    x = rng.standard_normal((64, 8)).astype(np.float32) * 0.3
+    y = rng.standard_normal((m, 8)).astype(np.float32) * 0.3
+    b = rng.standard_normal((m, 1)).astype(np.float32)
+    want = _truth("exponential", x, y, b, normalize=True)
+    got = np.asarray(kernel_matvec_pallas(
+        jnp.array(x), jnp.array(y), jnp.array(b),
+        kernel_name="exponential", normalize_rows=True,
+        precision="bfloat16", block_n=16, block_m=512, interpret=True))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # bf16-input scale (~1e-2), NOT bf16-accumulator scale (~1e0).
+    assert rel < 0.05
+
+
 def test_float32x3_precision_tier(rng):
     # The hand-built 3-pass bf16 split (MXU-form regime, D=64): error
     # must land well below the bfloat16 tier and within ~2^-16 of f32.
