@@ -460,6 +460,14 @@ SCALE.update({
     _name("solver", "sphere", 3, 1, 131072, 131072, "inverse-distance"):
         uniform_sphere(n_points=131072, task="solver",
                        kernel="inverse-distance"),
+    # Slow-spectral-decay SPD system at scale: the absolute-exponential
+    # kernel is where plain float32 CG visibly floors (residual stalls
+    # ~2e-4) and preconditioning + mixed-precision refinement earn
+    # their keep — the solver family's hard benchmark.
+    _name("solver", "cube", 3, 1, 131072, 131072,
+          "absolute-exponential"):
+        uniform_cube(n_points=131072, task="solver",
+                     kernel="absolute-exponential"),
     # BLR / H-matrix home turf (reference htool.py:9-12: BEM-style
     # compression of the singular inverse-distance kernel) at scale:
     # the product-task twin of the solver dataset above.
