@@ -31,7 +31,7 @@ each entry's "baseline" field.
 BUDGET PROTOCOL (why this file never times out): entries run in priority
 order — headline first, then the measurements unique to this round, then
 breadth.  Before each entry, its estimated cost is checked against
-KMB_BENCH_BUDGET seconds (default 620) of total wall clock; entries that
+KMB_BENCH_BUDGET seconds (default 700) of total wall clock; entries that
 don't fit are skipped LOUDLY into the "skipped" list of the final JSON.
 Expensive reusable measurements (the CPU baselines, plain-CG solver
 baselines) are computed once and shared across entries.  A SIGTERM/
@@ -61,7 +61,7 @@ D_BASE_N = int(os.environ.get("KMB_BENCH_BASELINE_N", "10000"))
 # ^ reference's largest benchmarked scale (CPU baseline), datasets.py:383-427
 
 START = time.perf_counter()
-BUDGET = float(os.environ.get("KMB_BENCH_BUDGET", "620"))
+BUDGET = float(os.environ.get("KMB_BENCH_BUDGET", "700"))
 
 # Mutable run state shared with the signal handler so a hard external
 # timeout still yields a parseable JSON record.
@@ -483,7 +483,7 @@ def run_solver(cfg, runs):
         # SOLVE times at the same tolerance; the compression build is
         # reported separately (and honestly) as the fit cost.
         from kmb_tpu.ops.blr import BlrOperator
-        from kmb_tpu.ops.solve import _minres
+        from kmb_tpu.ops.solve import _minres, _split_static
 
         t0 = time.perf_counter()
         op = BlrOperator(np.asarray(y), np.asarray(y),
@@ -494,8 +494,13 @@ def run_solver(cfg, runs):
             hard_fence(u)
         t_build = time.perf_counter() - t0
 
+        # matvec_partial: factors as runtime args, not module constants
+        # (the remote-compile payload cap, ops/solve.py _split_static).
+        matvec_fn, matvec_args = _split_static(op.matvec_partial())
+
         def solve():
-            return _minres(op.matvec_device, rhs, tol, cfg["max_iters"])
+            return _minres(matvec_fn, rhs, tol, cfg["max_iters"],
+                           matvec_args=matvec_args)
 
         solve()  # compile + warm
         t0 = time.perf_counter()
@@ -674,7 +679,7 @@ SUITE = [
 
 
 def _echo(cfg, entry, backend):
-    name = cfg["name"]
+    name = f"{cfg['name']} [wall {entry.get('wall_seconds', 0):.0f}s]"
     if cfg["task"] == "blr":
         print(f"# {name} [{backend}]: build {entry['build_seconds']:.3f}s"
               f" + query {entry['query_seconds']:.4f}s (exact "
@@ -731,6 +736,7 @@ def main():
                   f"({elapsed():.0f}s + ~{est}s > {BUDGET:.0f}s)",
                   file=sys.stderr, flush=True)
             continue
+        t_entry = time.perf_counter()
         try:
             if cfg["task"] == "blr":
                 entry = run_blr(cfg, runs)
@@ -746,6 +752,7 @@ def main():
             if i == 0:
                 raise  # a dead headline is a dead bench
             continue
+        entry["wall_seconds"] = time.perf_counter() - t_entry
         _echo(cfg, entry, backend)
         STATE["suite"][cfg["name"]] = {
             **{k: v for k, v in cfg.items() if k not in ("name", "est")},

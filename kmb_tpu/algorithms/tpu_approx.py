@@ -374,11 +374,15 @@ class BlrSolver(_TpuAlgorithm, BaseSolver):
         return float(np.max(num / den))
 
     def query(self):
-        from kmb_tpu.ops.solve import _minres, ir_solve
-        matvec = self.op.matvec_device
+        from kmb_tpu.ops.solve import _minres, _split_static, ir_solve
+        # matvec_partial + _split_static: the factor tiers travel as
+        # runtime args of the jitted MINRES loop — closing over them
+        # exceeds the remote-compile payload cap (HTTP 413 on axon).
+        matvec_fn, matvec_args = _split_static(self.op.matvec_partial())
         if self.refine_iters > 0:
             def inner(r):
-                return _minres(matvec, r, self.inner_tol, self.max_iters)
+                return _minres(matvec_fn, r, self.inner_tol,
+                               self.max_iters, matvec_args=matvec_args)
 
             b, info = ir_solve(
                 self.y, self.rhs64, kernel_name=self.kernel,
@@ -391,7 +395,8 @@ class BlrSolver(_TpuAlgorithm, BaseSolver):
             self.residual = float(info["relative_residual"])
         else:
             b, iters, residual = _minres(
-                matvec, self.rhs, self.tol, self.max_iters)
+                matvec_fn, self.rhs, self.tol, self.max_iters,
+                matvec_args=matvec_args)
             self.res = hard_fence(b)
             self.iterations = int(iters)
             self.outer_iterations = 0

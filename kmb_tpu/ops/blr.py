@@ -478,6 +478,45 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
 # ---------------------------------------------------------------------------
 
 
+class _BlrMatvecStatic:
+    """Hashable static half of the BLR matvec for the jitted Krylov loops.
+
+    Instances hash/compare by their (small, hashable) configuration, so
+    `_pcg`/`_minres` jit caches hit across solves while the factor
+    arrays arrive via the partial's dynamic args (ops/solve.py
+    `_split_static` — the remote-compile payload cap makes closing over
+    the factors a hard failure, not just a slowdown).
+    """
+
+    def __init__(self, kernel_name: str, num_x_blocks: int,
+                 mask_diagonal: bool):
+        self.kernel_name = kernel_name
+        self.num_x_blocks = int(num_x_blocks)
+        self.mask_diagonal = bool(mask_diagonal)
+
+    def __call__(self, arrays, v):
+        (gather_y, valid_y, out_pos, xpts, ypts, gid_x, gid_y,
+         far_groups, mirror_groups, near, near_sym) = arrays
+        blocked = jnp.asarray(v, jnp.float32)[gather_y]
+        blocked = jnp.where(valid_y[:, :, None], blocked, 0.0)
+        out = blr_matvec_blocks(
+            xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
+            blocked, near, near_sym, kernel_name=self.kernel_name,
+            num_x_blocks=self.num_x_blocks,
+            mask_diagonal=self.mask_diagonal)
+        return out[out_pos]
+
+    def __hash__(self):
+        return hash(("blr-matvec", self.kernel_name, self.num_x_blocks,
+                     self.mask_diagonal))
+
+    def __eq__(self, other):
+        return (isinstance(other, _BlrMatvecStatic)
+                and self.kernel_name == other.kernel_name
+                and self.num_x_blocks == other.num_x_blocks
+                and self.mask_diagonal == other.mask_diagonal)
+
+
 class BlrOperator:
     """Built BLR approximation of K(x, y): plan + device-side factors.
 
@@ -628,17 +667,39 @@ class BlrOperator:
         """Jit-traceable matvec: (M, E) -> (N, E), device ops only.
 
         Same math as `matvec`, but with the block gather/scatter done in
-        jnp (no host round-trip), so it can serve as the static `matvec`
-        of the jitted Krylov loops (ops/solve.py `_pcg` / `_minres`) —
-        the BLR-accelerated solver path.  Bound-method identity is
-        stable per operator, so the solver's jit cache hits across
-        repeated solves.
+        jnp (no host round-trip).  NOTE: as a bound method it closes
+        over the factor arrays, so tracing it inside a jitted loop bakes
+        hundreds of MB of factors into the module as constants — past
+        the remote-compile payload cap on an axon chip (HTTP 413).  For
+        the Krylov loops use `matvec_partial()` instead, whose factors
+        travel as runtime arguments.
         """
         plan = self.plan
         blocked = jnp.asarray(b, jnp.float32)[plan.gather_y]
         blocked = jnp.where(
             jnp.asarray(plan.gid_y >= 0)[:, :, None], blocked, 0.0)
         return self.matvec_blocked(blocked)[plan.out_pos]
+
+    def matvec_partial(self):
+        """(M, E) -> (N, E) matvec as `functools.partial(static, arrays)`.
+
+        The Krylov loops (ops/solve.py `_split_static`) keep the
+        `_BlrMatvecStatic` instance as the stable jit cache key while
+        every tensor — points, block ids, near-pair lists, and the far
+        factor tiers — travels as an ordinary runtime argument, keeping
+        the lowered module small (no baked-in factor constants).
+        """
+        plan = self.plan
+        arrays = (jnp.asarray(plan.gather_y),
+                  jnp.asarray(plan.gid_y >= 0),
+                  jnp.asarray(plan.out_pos),
+                  self.xpts, self.ypts, self.gid_x, self.gid_y,
+                  self.far_groups, self.mirror_groups,
+                  self._near, self._near_sym)
+        return functools.partial(
+            _BlrMatvecStatic(self.kernel_name, plan.num_x_blocks,
+                             get_kernel(self.kernel_name).zero_diagonal),
+            arrays)
 
     @property
     def compression(self) -> float:

@@ -203,8 +203,17 @@ def _pcg_init(rhs, precond: Optional[Callable] = None, precond_args=()):
 
 @functools.partial(jax.jit, static_argnames=("matvec", "precond"))
 def _pcg_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
-                 precond: Optional[Callable] = None, precond_args=()):
-    """One bounded segment of CG iterations (device while_loop)."""
+                 precond: Optional[Callable] = None, precond_args=(),
+                 matvec_args=()):
+    """One bounded segment of CG iterations (device while_loop).
+
+    `matvec_args` (like `precond_args`) carries device arrays the matvec
+    is parameterized over as RUNTIME arguments: a matvec that closes
+    over large arrays would bake them into the lowered module as dense
+    constants — hundreds of MB for the BLR factor tiers, past the
+    remote-compile payload cap on an axon chip (HTTP 413).  See
+    `_split_static`.
+    """
     if precond is None:
         apply_precond = lambda v: v  # noqa: E731
     else:
@@ -220,7 +229,7 @@ def _pcg_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
 
     def body(state):
         b, r, p, rz_old, _, best_b, best_rs, stall, it = state
-        kp = matvec(p)
+        kp = matvec(*matvec_args, p)
         denom = jnp.sum(p * kp, axis=0)
         alpha = jnp.where(denom != 0.0, rz_old / denom, 0.0)
         b = b + alpha * p
@@ -244,7 +253,8 @@ CG_SEGMENT_MAX = 2048
 
 
 def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
-         precond: Optional[Callable] = None, precond_args=()):
+         precond: Optional[Callable] = None, precond_args=(),
+         matvec_args=()):
     """Multi-RHS preconditioned conjugate gradient.
 
     Runs all E columns jointly; per-column alpha/beta scalars.  Stops when
@@ -291,7 +301,8 @@ def _pcg(matvec: Callable, rhs, tol: float, max_iters: int,
         t0 = time.perf_counter()
         state = _pcg_segment(matvec, state, target_sq, max_iters_dev,
                              seg_end, precond=precond,
-                             precond_args=precond_args)
+                             precond_args=precond_args,
+                             matvec_args=matvec_args)
         ran = int(state[8]) - iters_host  # blocks on the segment
         elapsed = time.perf_counter() - t0
         if not compile_pass and ran > 0 and elapsed > 0:
@@ -324,7 +335,8 @@ def _minres_init(rhs, precond: Optional[Callable] = None, precond_args=()):
 
 @functools.partial(jax.jit, static_argnames=("matvec", "precond"))
 def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
-                    precond: Optional[Callable] = None, precond_args=()):
+                    precond: Optional[Callable] = None, precond_args=(),
+                    matvec_args=()):
     """One bounded segment of (preconditioned) MINRES iterations.
 
     Paige–Saunders MINRES with an SPD preconditioner (the structure of
@@ -358,7 +370,7 @@ def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
          best_x, best_rs, stall, it) = state
         beta_safe = jnp.where(beta > 0.0, beta, 1.0)
         v = y / beta_safe[None, :]
-        p = matvec(v)
+        p = matvec(*matvec_args, v)
         # Lanczos three-term recurrence (first iteration has no r1 term).
         oldb_safe = jnp.where(oldb > 0.0, oldb, 1.0)
         coef = jnp.where(it >= 1, beta / oldb_safe, 0.0)
@@ -399,7 +411,8 @@ def _minres_segment(matvec: Callable, state, target_sq, max_iters, seg_end,
 
 
 def _minres(matvec: Callable, rhs, tol: float, max_iters: int,
-            precond: Optional[Callable] = None, precond_args=()):
+            precond: Optional[Callable] = None, precond_args=(),
+            matvec_args=()):
     """Host-segmented multi-RHS (preconditioned) MINRES (same protocol
     as `_pcg`: bounded device segments sized toward
     KMB_CG_SEGMENT_SECONDS, stall window on the residual estimate,
@@ -432,7 +445,8 @@ def _minres(matvec: Callable, rhs, tol: float, max_iters: int,
         t0 = time.perf_counter()
         state = _minres_segment(matvec, state, target_sq, max_iters_dev,
                                 seg_end, precond=precond,
-                                precond_args=precond_args)
+                                precond_args=precond_args,
+                                matvec_args=matvec_args)
         ran = int(state[16]) - iters_host  # blocks on the segment
         elapsed = time.perf_counter() - t0
         if not compile_pass and ran > 0 and elapsed > 0:
@@ -444,7 +458,7 @@ def _minres(matvec: Callable, rhs, tol: float, max_iters: int,
     # The final report is always the plain 2-norm relative residual
     # (rhs_sq above is the M⁻¹-norm when preconditioned).
     rhs_f = np.asarray(rhs, dtype=np.float32)
-    true_r = np.asarray(rhs_f - matvec(best_x))
+    true_r = np.asarray(rhs_f - matvec(*matvec_args, best_x))
     res_sq = np.sum(true_r * true_r, axis=0)
     rhs2 = np.sum(rhs_f * rhs_f, axis=0)
     residual = float(np.sqrt(
@@ -766,9 +780,14 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         matvec = _default_matvec(y, kernel_name=kernel_name,
                                  precision=precision)
     precond_fn, precond_args = _split_static(precond)
+    # The matvec gets the same static/dynamic split as the precond: a
+    # functools.partial over large device arrays (e.g. the BLR factor
+    # tiers, BlrOperator.matvec_partial) travels as runtime args instead
+    # of being baked into the lowered module as constants.
+    matvec_fn, matvec_args = _split_static(matvec)
     if kernel_name in SPD_KERNELS:
-        return _pcg(matvec, rhs, tol, max_iters, precond=precond_fn,
-                    precond_args=precond_args)
+        return _pcg(matvec_fn, rhs, tol, max_iters, precond=precond_fn,
+                    precond_args=precond_args, matvec_args=matvec_args)
 
     if indefinite_method == "auto":
         # Historical default: MINRES when unpreconditioned; a supplied
@@ -781,9 +800,9 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         # absolute-value preconditioner.  A K²-flavored preconditioner
         # (Nyström on the normal equations) belongs to
         # indefinite_method="normal" instead.
-        return _minres(matvec, jnp.asarray(rhs, jnp.float32), tol,
+        return _minres(matvec_fn, jnp.asarray(rhs, jnp.float32), tol,
                        max_iters, precond=precond_fn,
-                       precond_args=precond_args)
+                       precond_args=precond_args, matvec_args=matvec_args)
     k_rhs = matvec(rhs.astype(jnp.float32))
     return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
                 precond=precond_fn, precond_args=precond_args)
