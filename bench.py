@@ -31,7 +31,7 @@ each entry's "baseline" field.
 BUDGET PROTOCOL (why this file never times out): entries run in priority
 order — headline first, then the measurements unique to this round, then
 breadth.  Before each entry, its estimated cost is checked against
-KMB_BENCH_BUDGET seconds (default 700) of total wall clock; entries that
+KMB_BENCH_BUDGET seconds (default 800) of total wall clock; entries that
 don't fit are skipped LOUDLY into the "skipped" list of the final JSON.
 Expensive reusable measurements (the CPU baselines, plain-CG solver
 baselines) are computed once and shared across entries.  A SIGTERM/
@@ -61,7 +61,7 @@ D_BASE_N = int(os.environ.get("KMB_BENCH_BASELINE_N", "10000"))
 # ^ reference's largest benchmarked scale (CPU baseline), datasets.py:383-427
 
 START = time.perf_counter()
-BUDGET = float(os.environ.get("KMB_BENCH_BUDGET", "700"))
+BUDGET = float(os.environ.get("KMB_BENCH_BUDGET", "800"))
 
 # Mutable run state shared with the signal handler so a hard external
 # timeout still yields a parseable JSON record.
@@ -568,15 +568,15 @@ SUITE = [
     # -- headline + VPU-form regime (small D) --------------------------------
     dict(name="product-gaussian-D3-E1-f32", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="float32",
-         est=50),
+         est=215),
     dict(name="product-gaussian-D3-E1-bf16", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="bfloat16",
-         est=40),
+         est=15),
     # Ring-schedule overhead floor (1 device): tracks the multi-chip
     # context-parallel path against the direct engine above.
     dict(name="product-gaussian-D3-E1-f32-ring", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="float32",
-         schedule="ring", est=45),
+         schedule="ring", est=15),
     # -- solvers (this round's focus) ----------------------------------------
     # Mixed-precision iterative refinement: float64 host residuals break
     # the f32 Krylov floor (vs_baseline is an ACCURACY multiple —
@@ -584,18 +584,11 @@ SUITE = [
     dict(name="solver-ir-nystrom-absexp-D3-M32768-f32", task="solver",
          kernel="absolute-exponential", m=32768, d=3, e=1,
          precision="float32", tol=1e-9, max_iters=600, mode="ir",
-         precond_rank=512, refine_iters=3, inner_tol=1e-5, est=115),
-    # Nystrom rank is a real tuning knob: on the wide D=3 Gaussian system
-    # rank 256 wins ~2x while rank 512 is pure overhead; the
-    # slow-spectral-decay kernels are where preconditioning earns its
-    # keep: plain CG stalls above tolerance while PCG converges, faster.
-    dict(name="solver-cg-nystrom-gaussian-D3-M131072-f32", task="solver",
-         kernel="gaussian", m=131072, d=3, e=1, precision="float32",
-         tol=1e-5, max_iters=600, precond_rank=256, est=45),
+         precond_rank=512, refine_iters=3, inner_tol=1e-5, est=110),
     dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,
          precision="float32", tol=1e-5, max_iters=600, precond_rank=512,
-         est=125),
+         est=230),
     # Block-Jacobi on the same system (shares the plain baseline above).
     # leaf=1024 is the tuned config (512 halves the block coupling and
     # costs 2.4x the iterations); vs_baseline is an ACCURACY multiple —
@@ -604,14 +597,7 @@ SUITE = [
     dict(name="solver-cg-jacobi-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,
          precision="float32", tol=1e-5, max_iters=600, mode="jacobi",
-         leaf=1024, est=115),
-    # Preconditioned MINRES on the symmetric-INDEFINITE inverse-distance
-    # system (block spectral-absolute-value |K_b|^-1 as the SPD M^-1 of
-    # K itself), on the harness's sphere geometry.
-    dict(name="solver-minres-jacobi-invdist-sphere-D3-M65536-f32",
-         task="solver", kernel="inverse-distance", m=65536, d=3, e=1,
-         precision="float32", tol=1e-4, max_iters=600, mode="jacobi",
-         leaf=512, geometry="sphere", est=115),
+         leaf=1024, est=200),
     # -- attention precision matrix (new in round 4) -------------------------
     dict(name="attention-exponential-D25-E1-f32", task="attention",
          kernel="exponential", n=2**19, d=25, e=1, precision="float32",
@@ -625,6 +611,20 @@ SUITE = [
     dict(name="product-gaussian-D784-E1-bf16", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16",
          est=30),
+    # Preconditioned MINRES on the symmetric-INDEFINITE inverse-distance
+    # system (block spectral-absolute-value |K_b|^-1 as the SPD M^-1 of
+    # K itself), on the harness's sphere geometry.
+    dict(name="solver-minres-jacobi-invdist-sphere-D3-M65536-f32",
+         task="solver", kernel="inverse-distance", m=65536, d=3, e=1,
+         precision="float32", tol=1e-4, max_iters=600, mode="jacobi",
+         leaf=512, geometry="sphere", est=160),
+    # Nystrom rank is a real tuning knob: on the wide D=3 Gaussian system
+    # rank 256 wins ~2x while rank 512 is pure overhead; the
+    # slow-spectral-decay kernels are where preconditioning earns its
+    # keep: plain CG stalls above tolerance while PCG converges, faster.
+    dict(name="solver-cg-nystrom-gaussian-D3-M131072-f32", task="solver",
+         kernel="gaussian", m=131072, d=3, e=1, precision="float32",
+         tol=1e-5, max_iters=600, precond_rank=256, est=130),
     # -- MXU-form breadth ----------------------------------------------------
     dict(name="product-gaussian-D25-E1-f32", task="product",
          kernel="gaussian", n=2**19, d=25, e=1, precision="float32",
