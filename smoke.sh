@@ -14,7 +14,10 @@ REPO="$(cd "$(dirname "$0")" && pwd)"
 WORK="${1:-$(mktemp -d /tmp/kmb_smoke.XXXXXX)}"
 DATASET="product-sphere-D3-E1-M1000-N1000-inverse-distance"
 
-export PYTHONPATH="$REPO"
+# Append (don't overwrite) PYTHONPATH: some environments register jax
+# backend plugins through a sitecustomize module reachable only via the
+# inherited PYTHONPATH — clobbering it silently unregisters the backend.
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 # KMB_PLATFORM forces the jax backend at import time (JAX_PLATFORMS is
 # ignored by builds that pin jax_platforms in site customization).
 export KMB_PLATFORM="${KMB_PLATFORM:-cpu}"
