@@ -57,6 +57,10 @@ def make_parser():
         "--algorithm", metavar="NAME", default=None,
         help="run only the named algorithm")
     parser.add_argument(
+        "--exclude", metavar="NAME", action="append", default=[],
+        help="skip the named algorithm (repeatable); e.g. keep a sweep "
+             "moving by excluding compile-heavy entries")
+    parser.add_argument(
         "--list-algorithms", action="store_true",
         help="print the names of all known algorithms and exit")
     parser.add_argument(
@@ -123,6 +127,10 @@ def plan_experiments(args):
         logger.info("running only %s", args.algorithm)
         definitions = [d for d in definitions
                        if d.algorithm == args.algorithm]
+    if args.exclude:
+        logger.info("excluding %s", ", ".join(args.exclude))
+        definitions = [d for d in definitions
+                       if d.algorithm not in args.exclude]
 
     # Importability check (the local analog of the reference's
     # docker-image availability filter, main.py:232-287):
