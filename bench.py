@@ -43,7 +43,8 @@ file, and each entry is echoed as a human-readable stderr line.
 
 Environment knobs: KMB_BENCH_RUNS (default 2, the reference's best-of-N
 protocol, main.py:121-129), KMB_BENCH_BUDGET (seconds), KMB_BENCH_SUITE=0
-to run only the headline config, KMB_BENCH_N to override the headline
+to run only the headline config, KMB_BENCH_ONLY=name1,name2 to run the
+headline plus the named entries, KMB_BENCH_N to override the headline
 N=M.
 """
 
@@ -611,13 +612,21 @@ SUITE = [
     dict(name="product-gaussian-D784-E1-bf16", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16",
          est=30),
-    # Preconditioned MINRES on the symmetric-INDEFINITE inverse-distance
-    # system (block spectral-absolute-value |K_b|^-1 as the SPD M^-1 of
-    # K itself), on the harness's sphere geometry.
-    dict(name="solver-minres-jacobi-invdist-sphere-D3-M65536-f32",
-         task="solver", kernel="inverse-distance", m=65536, d=3, e=1,
-         precision="float32", tol=1e-4, max_iters=600, mode="jacobi",
-         leaf=512, geometry="sphere", est=160),
+    # Indefinite-system mixed-precision IR: f64 host residuals over
+    # plain-MINRES inner solves — the measured accuracy winner on the
+    # inverse-distance system (the harness M=131072 row reaches RMSE
+    # 0.025 vs the 0.073 plain-MINRES recovery floor).
+    dict(name="solver-ir-minres-invdist-sphere-D3-M32768-f32",
+         task="solver", kernel="inverse-distance", m=32768, d=3, e=1,
+         precision="float32", tol=1e-9, max_iters=600, mode="ir",
+         precond_rank=0, refine_iters=4, inner_tol=1e-4,
+         geometry="sphere", est=120),
+    # Fixed-rank BLR (randomized range-finder, no QDWH): compiles in
+    # seconds, so the H-matrix slot appears in driver-budget runs too
+    # (the adaptive-epsilon rows below need a raised budget).
+    dict(name="blr-invdist-sphere-D3-M131072-rank64", task="blr",
+         kernel="inverse-distance", m=131072, d=3, leaf=256, rank=64,
+         eta=2.0, geometry="sphere", est=120),
     # Nystrom rank is a real tuning knob: on the wide D=3 Gaussian system
     # rank 256 wins ~2x while rank 512 is pure overhead; the
     # slow-spectral-decay kernels are where preconditioning earns its
@@ -662,6 +671,15 @@ SUITE = [
     dict(name="attention-exponential-D64-E8-f32x3", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="float32x3",
          normalize_rows=True, est=35),
+    # Preconditioned MINRES on the indefinite system, sphere geometry —
+    # kept as an honest NEGATIVE record: on a uniform surface the
+    # diagonal kernel blocks do not dominate and block-abs MINRES
+    # converges worse than plain (the preconditioner pays on clustered
+    # geometries, tests/test_ops.py).
+    dict(name="solver-minres-jacobi-invdist-sphere-D3-M65536-f32",
+         task="solver", kernel="inverse-distance", m=65536, d=3, e=1,
+         precision="float32", tol=1e-4, max_iters=600, mode="jacobi",
+         leaf=512, geometry="sphere", est=160),
     # -- BLR / H-matrix slot -------------------------------------------------
     # The adaptive-epsilon compression build compiles its QDWH-heavy
     # batched SVD for ~14 minutes cold — far past any driver budget, so
@@ -719,6 +737,14 @@ def main():
     STATE["backend"] = backend
 
     suite_cfgs = SUITE if full_suite else SUITE[:1]
+    only = os.environ.get("KMB_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        picked = [c for c in suite_cfgs if c["name"] in keep]
+        # The headline entry always leads (emit_json needs it).
+        if picked and picked[0]["name"] != SUITE[0]["name"]:
+            picked = [SUITE[0]] + picked
+        suite_cfgs = picked or suite_cfgs
     if n_override:
         suite_cfgs = [dict(suite_cfgs[0], n=int(n_override))
                       ] + list(suite_cfgs[1:])
