@@ -106,7 +106,12 @@ def get_definitions(
     for name, algo in entries.items():
         if algo.get("disabled", False) and not run_disabled:
             continue
-        if algo.get("hardware", "CPU") != hardware:
+        # Tier as CAPABILITY: accelerator machines also have a host CPU,
+        # so CPU entries run everywhere — a single TPU-host sweep then
+        # produces the full CPU-vs-TPU Pareto story (the reference's
+        # strict equality, definitions.py:112, forces one sweep per
+        # machine class instead).
+        if algo.get("hardware", "CPU") not in ("CPU", hardware):
             continue
         if not algo.get(task, False):
             continue
