@@ -57,9 +57,15 @@ class TestDefinitions:
             definition_file=ALGOS_YAML,
             dataset="product-cube-D3-E1-M1000-N1000-gaussian",
             task="product", hardware="TPU", kernel="gaussian")
-        assert {d.algorithm for d in defs} == {
-            "tpu-product", "tpu-sharded-product", "tpu-blr-product",
-            "tpu-nystrom-product", "tpu-rff-product"}
+        algos = {d.algorithm for d in defs}
+        # TPU-tier entries are selected...
+        assert {"tpu-product", "tpu-sharded-product", "tpu-blr-product",
+                "tpu-nystrom-product", "tpu-rff-product"} <= algos
+        # ...and CPU entries ride along (tier is a capability: the TPU
+        # host's CPU runs them, giving the CPU-vs-TPU Pareto in one
+        # sweep).  GPU-only entries would still be excluded.
+        assert "bruteforce-product-blas" in algos
+        assert "native-product" in algos
 
     def test_attention_task_filter(self):
         defs = get_definitions(
