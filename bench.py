@@ -620,12 +620,15 @@ SUITE = [
          task="solver", kernel="inverse-distance", m=32768, d=3, e=1,
          precision="float32", tol=1e-9, max_iters=600, mode="ir",
          precond_rank=0, refine_iters=4, inner_tol=1e-4,
-         geometry="sphere", est=120),
+         geometry="sphere", est=45),
     # Fixed-rank BLR (randomized range-finder, no QDWH): compiles in
     # seconds, so the H-matrix slot appears in driver-budget runs too
     # (the adaptive-epsilon rows below need a raised budget).
-    dict(name="blr-invdist-sphere-D3-M131072-rank64", task="blr",
-         kernel="inverse-distance", m=131072, d=3, leaf=256, rank=64,
+    # rank capped at 16: fixed-rank keeps FULL-rank factors for every
+    # far pair (no epsilon truncation) — rank 64 at this M is ~13 GB of
+    # factors, past the 16 GB HBM (measured RESOURCE_EXHAUSTED).
+    dict(name="blr-invdist-sphere-D3-M131072-rank16", task="blr",
+         kernel="inverse-distance", m=131072, d=3, leaf=256, rank=16,
          eta=2.0, geometry="sphere", est=120),
     # Nystrom rank is a real tuning knob: on the wide D=3 Gaussian system
     # rank 256 wins ~2x while rank 512 is pure overhead; the
