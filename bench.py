@@ -735,6 +735,7 @@ def main():
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
 
+    import kmb_tpu  # noqa: F401  (honors KMB_PLATFORM before backend init)
     import jax
     backend = jax.default_backend()
     STATE["backend"] = backend
