@@ -162,9 +162,6 @@ class BlrProduct(_ApproxProduct):
                 else 0.0,
                 "compression": self.op.compression}
 
-    def done(self):
-        self.op = self.b_blocks = None
-
 
 class NystromProduct(_ApproxProduct):
     """Landmark low-rank (Nyström) kernel product: K ≈ K(·,L) W⁺ K(L,·)."""
@@ -206,9 +203,6 @@ class NystromProduct(_ApproxProduct):
         r = self.u.shape[0]
         return {"rank": r,
                 "compression": float(n * m) / float((n + m + r) * r)}
-
-    def done(self):
-        self.u = self.inv_lam = self.zx = self.zy = None
 
 
 class NystromSolver(_TpuAlgorithm, BaseSolver):
@@ -264,9 +258,6 @@ class NystromSolver(_TpuAlgorithm, BaseSolver):
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
-
-    def done(self):
-        self.c = self.gram = None
 
 
 class BlrSolver(_TpuAlgorithm, BaseSolver):
@@ -415,9 +406,6 @@ class BlrSolver(_TpuAlgorithm, BaseSolver):
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
 
-    def done(self):
-        self.op = None
-
 
 class RandomFeatureProduct(_ApproxProduct):
     """Random-feature kernel product: K @ b ≈ Φx (Φyᵀ b)."""
@@ -451,6 +439,3 @@ class RandomFeatureProduct(_ApproxProduct):
         f = self.num_features
         return {"num_features": f,
                 "compression": float(n * m) / float((n + m) * f)}
-
-    def done(self):
-        self.phi_x = self.phi_y = None

@@ -53,6 +53,19 @@ def _device_bytes_in_use():
 class _TpuAlgorithm:
     """Shared helpers: device staging and HBM-aware memory accounting."""
 
+    # Attributes that may pin device (HBM) buffers between experiments.
+    # `done()` drops them all: in a serial in-process sweep (--local) a
+    # finished algorithm object can otherwise keep gigabytes of HBM
+    # alive while the next algorithm stages its data — the measured
+    # RESOURCE_EXHAUSTED failure mode at M=2^20 (the runner keeps the
+    # best-build algo object alive until the experiment ends,
+    # runner.py:119-125).
+    _DEVICE_ATTRS = (
+        "x", "y", "b", "rhs", "res", "factor", "u", "inv_lam", "zx", "zy",
+        "phi_x", "phi_y", "c", "gram", "op", "b_blocks", "_precond_fn",
+        "_prepared",
+    )
+
     def _check_kernel(self, kernel):
         if kernel not in KERNELS:
             raise NotImplementedError(
@@ -65,6 +78,11 @@ class _TpuAlgorithm:
             return device / 1024
         import psutil
         return psutil.Process().memory_info().rss / 1024
+
+    def done(self):
+        for attr in self._DEVICE_ATTRS:
+            if hasattr(self, attr):
+                setattr(self, attr, None)
 
 
 class TpuProduct(_TpuAlgorithm, BaseProduct):
@@ -153,9 +171,6 @@ class TpuSolverDirect(_TpuAlgorithm, BaseSolver):
 
     def get_result(self):
         return np.ascontiguousarray(np.asarray(self.res), dtype=np.float64)
-
-    def done(self):
-        self.factor = None
 
 
 class TpuSolverCG(_TpuAlgorithm, BaseSolver):

@@ -57,7 +57,11 @@ class ShardedProduct(_TpuAlgorithm, BaseProduct):
         self.n_devices = n_devices
         self.block_n = block_n
         self.block_m = block_m
-        self.name = f"ShardedProduct({precision}, {schedule})"
+        # n_devices distinguishes device-sweep rows (the scaling-
+        # efficiency metric groups by name, so 1/2/4/8-device runs must
+        # not collapse into one legend entry).
+        tag = f", devices={n_devices}" if n_devices else ""
+        self.name = f"ShardedProduct({precision}, {schedule}{tag})"
 
     def prepare_data(self, *, source_points, target_points, same_points=False,
                      density_estimation=False):
@@ -119,8 +123,12 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
         self.n_devices = n_devices
         self.iterations = 0
         self.residual = float("nan")
-        tag = f", rank={precond_rank}" if precond_rank else ""
-        self.name = f"ShardedSolverCG({precision}, tol={tol}{tag})"
+        # The constructor-parameter tag must survive set_query_arguments'
+        # name rebuild (the runner always calls it before storing with
+        # name=str(algo)): without it the precond_rank=256 variant is
+        # recorded under the exact same name as the plain variant.
+        self._param_tag = f", rank={precond_rank}" if precond_rank else ""
+        self.name = f"ShardedSolverCG({precision}, tol={tol}{self._param_tag})"
 
     def prepare_data(self, *, source_points):
         devices = _resolve_devices(self.n_devices)
@@ -149,7 +157,8 @@ class ShardedSolverCG(_TpuAlgorithm, BaseSolver):
             self.tol = tol
         if max_iters is not None:
             self.max_iters = max_iters
-        self.name = f"ShardedSolverCG({self.precision}, tol={self.tol})"
+        self.name = (f"ShardedSolverCG({self.precision}, "
+                     f"tol={self.tol}{self._param_tag})")
 
     def prepare_query(self, *, target_signal):
         self.rhs = np.asarray(target_signal, dtype=np.float32)

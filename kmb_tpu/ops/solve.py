@@ -147,8 +147,15 @@ class NormalEquationsOp:
     def __init__(self, matvec: Callable):
         self.matvec = matvec
 
-    def __call__(self, v):
-        return self.matvec(self.matvec(v))
+    def __call__(self, *args):
+        # Variadic like every split matvec: leading args are the wrapped
+        # matvec's runtime arrays (`_split_static` / `matvec_args`), the
+        # final argument is the vector.  A matvec parameterized over
+        # large device arrays (e.g. BLR factor tiers) must ship them as
+        # runtime args here too, or the lowered module bakes them in as
+        # constants — the remote-compile payload cap (HTTP 413).
+        *mv_args, v = args
+        return self.matvec(*mv_args, self.matvec(*mv_args, v))
 
     def __hash__(self):
         return hash(("normal-equations", self.matvec))
@@ -612,7 +619,15 @@ def nystrom_preconditioner(matvec: Callable, m: int, rank: int, *,
     g2 = mm(half.T, half, **reduce_kw)
     g2 = 0.5 * (g2 + g2.T)
     s2, v2 = jnp.linalg.eigh(g2)                            # ascending
-    s2 = jnp.maximum(s2, tiny)
+    # Clamp RELATIVE to the spectrum, not to float32 tiny: an eigenvalue
+    # at numerical zero (rank above the sketch's numerical rank) divided
+    # under sqrt at the ~1e-38 absolute floor would produce a garbage
+    # O(1e19) column in U that corrupts the preconditioner apply.  At
+    # eps_f32 * lam_max the column stays bounded and the corresponding
+    # direction degrades to (scaled) noise the rel_floor in
+    # `apply_nystrom_precond` already tolerates.
+    s2 = jnp.maximum(s2, jnp.maximum(
+        jnp.finfo(jnp.float32).eps * s2[-1], tiny))
     u = mm(half, v2 / jnp.sqrt(s2)[None, :])
     u = u[:, ::-1]                                          # descending
     lam = jnp.maximum(s2[::-1] - nu, 0.0)
@@ -737,9 +752,12 @@ def ir_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
         b_new = b64 + np.asarray(delta, dtype=np.float64) * scale
         r_new = rhs64 - residual_matvec(b_new)
         rel_new = float(np.max(np.linalg.norm(r_new, axis=0) / rhs_norms))
-        if history and rel_new >= rel:
+        if rel_new >= rel:
             # Refinement floor reached (κ·eps_f32 ≥ 1 territory): keep
-            # the best iterate rather than drift.
+            # the best iterate rather than drift.  rel is initialized
+            # from the raw rhs, so this also guards the FIRST
+            # correction — a diverging inner solve never replaces the
+            # best iterate, even on outer pass 1.
             history.append(rel_new)
             break
         b64, r64, rel = b_new, r_new, rel_new
@@ -804,5 +822,9 @@ def cg_solve(y, rhs, *, kernel_name: str, precision: str = "float32",
                        max_iters, precond=precond_fn,
                        precond_args=precond_args, matvec_args=matvec_args)
     k_rhs = matvec(rhs.astype(jnp.float32))
-    return _pcg(NormalEquationsOp(matvec), k_rhs, tol, max_iters,
-                precond=precond_fn, precond_args=precond_args)
+    # Same static/dynamic split as the MINRES route above: the K² wrap
+    # forwards `matvec_args` to the inner matvec, so a partial-over-
+    # arrays matvec reaching this path stays within the payload cap.
+    return _pcg(NormalEquationsOp(matvec_fn), k_rhs, tol, max_iters,
+                precond=precond_fn, precond_args=precond_args,
+                matvec_args=matvec_args)
