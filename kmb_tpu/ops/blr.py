@@ -293,44 +293,52 @@ def compress_far_blocks(xpts, ypts, far_i, far_j, *, kernel_name: str,
     return u.reshape(-1, leaf, rank), v.reshape(-1, rank, leaf)
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_name", "rank", "seed"))
+@jax.jit
+def _batched_gram(v):
+    """(P, rank, leaf) factors -> (P, rank, rank) Grams V V^T."""
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(v, jnp.swapaxes(v, -1, -2))
+
+
+@jax.jit
+def _rotate_factors(u, v, rot):
+    """Batched rotation into SVD form: U <- U R, V <- R^T V."""
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(u, rot), mm(jnp.swapaxes(rot, -1, -2), v)
+
+
 def compress_far_blocks_svd(xpts, ypts, far_i, far_j, *, kernel_name: str,
                             rank: int, seed: int = 0):
     """Range-finder factors rotated into per-block SVD form.
 
-    Same batched sketch-QR as `compress_far_blocks`, followed by a
-    batched eigendecomposition of the small (rank, rank) Gram V V^T:
-    with V = W diag(s^2)^(1/2) ... the rotation U <- U W, V <- W^T V
-    orders each block's factor rows by decreasing singular value, so
-    truncating to the first r rows/columns IS the best rank-r
-    approximation the sketch supports.  Returns (U, V, sv2) with
-    sv2 (Pf, rank) the squared singular values, descending.
+    Same batched sketch-QR as `compress_far_blocks`, followed by an
+    eigendecomposition of the small (rank, rank) Gram V V^T: with
+    V = W diag(s^2)^(1/2) ... the rotation U <- U W, V <- W^T V orders
+    each block's factor rows by decreasing singular value, so truncating
+    to the first r rows/columns IS the best rank-r approximation the
+    sketch supports.  Returns (U, V, sv2) with sv2 (Pf, rank) the
+    squared singular values, descending.
+
+    Work split (device vs host): every O(leaf)-sized operation — kernel
+    tiles, sketches, thin QRs, the Grams, the factor rotations — runs
+    batched on the MXU; ONLY the tiny (rank, rank) symmetric
+    eigendecompositions run on the host (stacked float64 LAPACK,
+    milliseconds for thousands of blocks).  A device eigh here lowers
+    to QDWH spectral divide-and-conquer whose COLD COMPILE is ~14
+    minutes on a remote-compiled chip — it made every adaptive-epsilon
+    build unusable inside benchmark budgets while contributing
+    negligible runtime.  (select_block_ranks already pulls sv2 to the
+    host, so this adds no new synchronization point.)
     """
-    spec = get_kernel(kernel_name)
-    leaf = xpts.shape[1]
-    omega = jax.random.normal(jax.random.PRNGKey(seed), (leaf, rank),
-                              dtype=jnp.float32)
-    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-
-    def one(i, j):
-        k_tile = _kernel_tile(spec, xpts[i], ypts[j])
-        q, _ = jnp.linalg.qr(k_tile @ omega)
-        v = mm(q.T, k_tile)
-        w, rot = jnp.linalg.eigh(mm(v, v.T))        # ascending
-        w = jnp.maximum(w[::-1], 0.0)               # descending sigma^2
-        rot = rot[:, ::-1]
-        return mm(q, rot), mm(rot.T, v), w
-
-    def chunk_fn(pair_chunk):
-        return jax.vmap(one)(pair_chunk[0], pair_chunk[1])
-
-    num_chunks = far_i.shape[0] // _CHUNK
-    u, v, sv2 = jax.lax.map(
-        chunk_fn,
-        (far_i.reshape(num_chunks, _CHUNK), far_j.reshape(num_chunks, _CHUNK)),
-    )
-    return (u.reshape(-1, leaf, rank), v.reshape(-1, rank, leaf),
-            sv2.reshape(-1, rank))
+    u, v = compress_far_blocks(xpts, ypts, far_i, far_j,
+                               kernel_name=kernel_name, rank=rank,
+                               seed=seed)
+    gram = np.asarray(_batched_gram(v), dtype=np.float64)
+    w, rot = np.linalg.eigh(gram)                   # ascending, stacked
+    sv2 = np.maximum(w[:, ::-1], 0.0)               # descending sigma^2
+    rot = np.ascontiguousarray(rot[:, :, ::-1], dtype=np.float32)
+    u, v = _rotate_factors(u, v, jnp.asarray(rot))
+    return u, v, jnp.asarray(sv2, dtype=jnp.float32)
 
 
 def select_block_ranks(sv2: np.ndarray, epsilon: float) -> np.ndarray:
