@@ -86,8 +86,29 @@ def create_plot(env, data, xn, yn, linestyles, chart_id, latex=False,
         latex_code=latex_code, scatter=scatter)
 
 
+def render_summary_png(name, runs, linestyles, outputdir):
+    """Static matplotlib summary render next to the interactive plots.
+
+    The reference embeds a plot.py PNG on every detail page
+    (reference create_website.py:240-256); this renders the default
+    plot.py variant (total-time vs rmse-error, log-log Pareto fronts)
+    into the site directory and returns its page-relative filename.
+    """
+    import plot as plot_module
+    xn, yn = "total-time", "rmse-error"
+    all_data = {}
+    for algo, label, x, y in prepare_data(runs, xn, yn):
+        all_data.setdefault(algo, []).append((algo, label, x, y))
+    if not all_data:
+        return None
+    png = f"{name}_summary.png"
+    plot_module.create_plot(all_data, False, "log", "log", xn, yn,
+                            os.path.join(outputdir, png), linestyles)
+    return png
+
+
 def build_detail_site(env, data, label_fn, linestyles, outputdir, args,
-                      descriptions=None):
+                      descriptions=None, summary_png=False):
     """One page per entity (dataset or algorithm); returns index entries."""
     entries = []
     for name, runs in sorted(data.items()):
@@ -102,12 +123,15 @@ def build_detail_site(env, data, label_fn, linestyles, outputdir, args,
                 latex=args.latex, scatter=args.scatter)
             if html:
                 plots.append(html)
+        png = (render_summary_png(name, runs, linestyles, outputdir)
+               if summary_png else None)
         rendered = env.get_template("detail_page.html").render(
-            title=title, plots=plots,
+            title=title, plots=plots, summary_png=png,
             description=(descriptions or {}).get(name, ""))
         with open(os.path.join(outputdir, page), "w") as f:
             f.write(rendered)
-        entries.append({"name": name, "page": page, "n_runs": len(runs)})
+        entries.append({"name": name, "page": page, "n_runs": len(runs),
+                        "summary_png": png})
     return entries
 
 
@@ -172,7 +196,8 @@ def main(argv=None):
 
     dataset_entries = build_detail_site(
         env, by_dataset, lambda name: f"Dataset: {name}", linestyles,
-        args.outputdir, args, dataset_descriptions(by_dataset))
+        args.outputdir, args, dataset_descriptions(by_dataset),
+        summary_png=True)
     algorithm_entries = build_detail_site(
         env, by_algorithm, lambda name: f"Algorithm: {name}", linestyles,
         args.outputdir, args)

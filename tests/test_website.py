@@ -36,6 +36,11 @@ def test_build_website(tmp_path, monkeypatch):
     assert "new Chart" in detail
     assert "tikzpicture" in detail          # --latex export present
     assert "RMSE error" in detail
+    # Static summary render embedded next to the interactive plots
+    # (reference create_website.py:240-256) and present on disk.
+    assert f"{dataset}_summary.png" in detail
+    assert os.path.exists(os.path.join(outdir, f"{dataset}_summary.png"))
+    assert f"{dataset}_summary.png" in index  # index-page thumbnail
 
     algo_page = open(
         os.path.join(outdir, "bruteforce-product-blas.html")).read()
