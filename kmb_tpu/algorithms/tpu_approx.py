@@ -36,9 +36,10 @@ from kmb_tpu.algorithms.base import BaseProduct, BaseSolver
 from kmb_tpu.algorithms.tpu_engine import _TpuAlgorithm
 from kmb_tpu.ops.blr import BLR_KERNELS, BlrOperator
 from kmb_tpu.ops.lowrank import (
-    LOWRANK_KERNELS, feature_apply, nystrom_apply, nystrom_core,
-    nystrom_factor, nystrom_factors, nystrom_solver_apply,
-    nystrom_solver_build, random_feature_map, select_landmarks,
+    LOWRANK_KERNELS, feature_apply, feature_apply_streamed, nystrom_apply,
+    nystrom_core, nystrom_factor, nystrom_factors, nystrom_solver_apply,
+    nystrom_solver_build, random_feature_map, random_feature_params,
+    select_landmarks,
 )
 
 
@@ -408,20 +409,46 @@ class BlrSolver(_TpuAlgorithm, BaseSolver):
 
 
 class RandomFeatureProduct(_ApproxProduct):
-    """Random-feature kernel product: K @ b ≈ Φx (Φyᵀ b)."""
+    """Random-feature kernel product: K @ b ≈ Φx (Φyᵀ b).
+
+    When the materialized feature matrices would exceed
+    KMB_RFF_STREAM_BYTES (default 2 GiB; at M=2^20 and F=4096 they are
+    17 GB, past a 16 GB chip's HBM), `fit` keeps only the (D, F)
+    spectral parameters and `query` streams row blocks through the
+    feature map (ops/lowrank.feature_apply_streamed) — same estimator,
+    O(block·F) memory, cost shifted honestly into the timed query.
+    """
 
     def __init__(self, *, kernel, dimension, normalize_rows=False,
-                 precision="float32", num_features=1024, seed=0):
+                 precision="float32", num_features=1024, seed=0,
+                 stream_bytes=None):
         super().__init__(kernel=kernel, dimension=dimension,
                          normalize_rows=normalize_rows, precision=precision)
         self._check_kernel(kernel)
+        import os
         self.num_features = int(num_features)
         self.seed = int(seed)
+        self.stream_bytes = int(
+            stream_bytes if stream_bytes is not None
+            else os.environ.get("KMB_RFF_STREAM_BYTES", str(2 << 30)))
+        self.streaming = False
+        self.omega = self.phase = None
         self.name = f"RandomFeatureProduct(F={num_features})"
 
     def fit(self):
-        # TIMED: sampling the spectral frequencies and projecting both
-        # point clouds through them is the compression build.
+        # TIMED: sampling the spectral frequencies and (in materialized
+        # mode) projecting both point clouds through them is the
+        # compression build.
+        n = self.x.shape[0]
+        m = self.y.shape[0]
+        rows = m if self.same_points else n + m
+        self.streaming = rows * self.num_features * 4 > self.stream_bytes
+        if self.streaming:
+            self.omega, self.phase = random_feature_params(
+                self.x.shape[1], self.kernel, self.num_features,
+                seed=self.seed)
+            hard_fence((self.omega, self.phase))
+            return
         self.phi_x = random_feature_map(
             self.x, self.kernel, self.num_features, seed=self.seed)
         self.phi_y = (self.phi_x if self.same_points else random_feature_map(
@@ -429,13 +456,19 @@ class RandomFeatureProduct(_ApproxProduct):
         hard_fence((self.phi_x, self.phi_y))
 
     def query(self):
+        if self.streaming:
+            self.res = hard_fence(feature_apply_streamed(
+                self.omega, self.phase, self.x, self.y, self.b,
+                normalize_rows=self.normalize_rows,
+                density_estimation=self.density_estimation))
+            return
         self.res = hard_fence(feature_apply(
             self.phi_x, self.phi_y, self.b,
             normalize_rows=self.normalize_rows,
             density_estimation=self.density_estimation))
 
     def get_additional(self):
-        n, m = self.phi_x.shape[0], self.phi_y.shape[0]
+        n, m = self.x.shape[0], self.y.shape[0]
         f = self.num_features
-        return {"num_features": f,
+        return {"num_features": f, "streaming": self.streaming,
                 "compression": float(n * m) / float((n + m) * f)}

@@ -62,8 +62,8 @@ class _TpuAlgorithm:
     # runner.py:119-125).
     _DEVICE_ATTRS = (
         "x", "y", "b", "rhs", "res", "factor", "u", "inv_lam", "zx", "zy",
-        "phi_x", "phi_y", "c", "gram", "op", "b_blocks", "_precond_fn",
-        "_prepared",
+        "phi_x", "phi_y", "omega", "phase", "c", "gram", "op", "b_blocks",
+        "_precond_fn", "_prepared",
     )
 
     def _check_kernel(self, kernel):

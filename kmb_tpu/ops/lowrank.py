@@ -169,39 +169,122 @@ def nystrom_solver_apply(c, gram, rhs, lam):
     return (rhs - jnp.matmul(c, s, precision=_HI)) / lam
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kernel_name", "num_features"))
-def random_feature_map(points, kernel_name: str, num_features: int,
-                       seed: int = 0):
-    """(n, F) feature matrix Φ with E[Φ(x) Φ(y)ᵀ] = K(x, y)."""
+def random_feature_params(dimension: int, kernel_name: str,
+                          num_features: int, seed: int = 0):
+    """Spectral parameters of the feature map — tiny: (D, F) + (F,).
+
+    Returns (omega, phase); phase is None for the positive (Performer)
+    "exponential" features.  Splitting the parameters from the feature
+    matrix lets huge-M paths stream blocks of Φ without ever
+    materializing the (M, F) matrix (see `feature_apply_streamed`).
+    """
     _check_kernel(kernel_name)
-    n, d = points.shape
     key = jax.random.PRNGKey(seed)
     k_omega, k_phase, k_nu = jax.random.split(key, 3)
-    pts = points.astype(jnp.float32)
-
     if kernel_name == "exponential":
         # Positive features (Performer FAVOR+): unbiased for exp(<x,y>)
         # and strictly positive, so attention normalization stays sane.
-        omega = jax.random.normal(k_omega, (d, num_features), jnp.float32)
+        omega = jax.random.normal(
+            k_omega, (dimension, num_features), jnp.float32)
+        return omega, None
+    if kernel_name == "gaussian":
+        # exp(-|x-y|^2) = RBF with gamma=1  =>  ω ~ N(0, 2 I).
+        omega = jnp.sqrt(2.0) * jax.random.normal(
+            k_omega, (dimension, num_features), jnp.float32)
+    else:  # absolute-exponential: spectral measure = isotropic Cauchy.
+        z = jax.random.normal(
+            k_omega, (dimension, num_features), jnp.float32)
+        g = jax.random.normal(k_nu, (1, num_features), jnp.float32)
+        omega = z / jnp.maximum(jnp.abs(g), 1e-20)
+    phase = jax.random.uniform(
+        k_phase, (num_features,), jnp.float32, 0.0, 2.0 * jnp.pi)
+    return omega, phase
+
+
+def _feature_block(omega, phase, pts):
+    """Φ for one block of points: (blk, D) -> (blk, F)."""
+    pts = pts.astype(jnp.float32)
+    num_features = omega.shape[1]
+    if phase is None:
         proj = jnp.matmul(pts, omega, precision=_HI)
         log_phi = proj - 0.5 * jnp.sum(pts * pts, axis=1, keepdims=True)
         # Stabilize per-feature-map (cancels in the x·y product only for
         # normalized attention; for raw products keep it exact):
         return jnp.exp(log_phi) / jnp.sqrt(float(num_features))
-
-    if kernel_name == "gaussian":
-        # exp(-|x-y|^2) = RBF with gamma=1  =>  ω ~ N(0, 2 I).
-        omega = jnp.sqrt(2.0) * jax.random.normal(
-            k_omega, (d, num_features), jnp.float32)
-    else:  # absolute-exponential: spectral measure = isotropic Cauchy.
-        z = jax.random.normal(k_omega, (d, num_features), jnp.float32)
-        g = jax.random.normal(k_nu, (1, num_features), jnp.float32)
-        omega = z / jnp.maximum(jnp.abs(g), 1e-20)
-    phase = jax.random.uniform(
-        k_phase, (num_features,), jnp.float32, 0.0, 2.0 * jnp.pi)
     proj = jnp.matmul(pts, omega, precision=_HI) + phase
     return jnp.sqrt(2.0 / num_features) * jnp.cos(proj)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_name", "num_features"))
+def random_feature_map(points, kernel_name: str, num_features: int,
+                       seed: int = 0):
+    """(n, F) feature matrix Φ with E[Φ(x) Φ(y)ᵀ] = K(x, y)."""
+    omega, phase = random_feature_params(
+        points.shape[1], kernel_name, num_features, seed=seed)
+    return _feature_block(omega, phase, points)
+
+
+def _pad_rows(a, block):
+    pad = (-a.shape[0]) % block
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    return a
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalize_rows", "density_estimation", "block"))
+def feature_apply_streamed(omega, phase, x, y, b, *, normalize_rows=False,
+                           density_estimation=False, block=16384):
+    """`feature_apply` without materializing Φx / Φy — O(block·F) memory.
+
+    At M = 2^20 and F = 4096 the (M, F) float32 feature matrix is 17 GB,
+    past a 16 GB chip's HBM (measured RESOURCE_EXHAUSTED on the GloVe-
+    geometry dataset); this version streams y (then x) in row blocks
+    through the feature map inside two `lax.scan` loops, accumulating
+    the (F, E+1) bridge t = Φyᵀ [b, 1] exactly as the materialized path
+    does.  Same estimator, same precision (f32, HIGHEST), identical
+    math per block — only the schedule changes.
+    """
+    n = x.shape[0]
+    m = y.shape[0]
+    if density_estimation and normalize_rows:
+        return jnp.ones((n, 1), jnp.float32)
+    if b is None:
+        b = jnp.ones((m, 1), jnp.float32)
+    # The ones column (kernel row sums) must be zero on pad rows, so the
+    # padding is applied to the augmented signal, not per-column.
+    b_aug = jnp.concatenate(
+        [b.astype(jnp.float32), jnp.ones((m, 1), jnp.float32)], axis=1)
+    yb = _pad_rows(y.astype(jnp.float32), block).reshape(
+        -1, block, y.shape[1])
+    bb = _pad_rows(b_aug, block).reshape(-1, block, b_aug.shape[1])
+
+    def y_step(t, args):
+        y_blk, b_blk = args
+        phi = _feature_block(omega, phase, y_blk)
+        return t + jnp.matmul(phi.T, b_blk, precision=_HI), None
+
+    t0 = jnp.zeros((omega.shape[1], b_aug.shape[1]), jnp.float32)
+    t, _ = jax.lax.scan(y_step, t0, (yb, bb))
+
+    xb = _pad_rows(x.astype(jnp.float32), block).reshape(
+        -1, block, x.shape[1])
+
+    def x_step(_, x_blk):
+        phi = _feature_block(omega, phase, x_blk)
+        return None, jnp.matmul(phi, t, precision=_HI)
+
+    _, outs = jax.lax.scan(x_step, None, xb)
+    out = outs.reshape(-1, b_aug.shape[1])[:n]
+    num, den = out[:, :-1], out[:, -1:]
+    if density_estimation:
+        return den
+    if normalize_rows:
+        return num / den
+    return num
 
 
 @functools.partial(

@@ -209,3 +209,49 @@ def test_wrapper_same_points_shares_features(clouds):
     algo.fit()
     assert algo.phi_x is algo.phi_y
     algo.done()
+
+
+@pytest.mark.parametrize("kernel", SMOOTH_KERNELS)
+@pytest.mark.parametrize("normalize", [False, True])
+def test_streamed_features_match_materialized(kernel, normalize, clouds):
+    """feature_apply_streamed is the same estimator as feature_apply:
+    identical parameters, blockwise schedule — results must agree to
+    float32 summation noise (the huge-M path must not change the math)."""
+    if normalize and kernel != "exponential":
+        pytest.skip("attention normalization pairs with exp(<x,y>)")
+    from kmb_tpu.ops.lowrank import (
+        feature_apply_streamed, random_feature_params)
+
+    x, y, b = clouds
+    f = 64
+    phi_x = random_feature_map(jnp.array(x), kernel, f, seed=3)
+    phi_y = random_feature_map(jnp.array(y), kernel, f, seed=3)
+    want = np.asarray(feature_apply(phi_x, phi_y, jnp.array(b),
+                                    normalize_rows=normalize))
+    omega, phase = random_feature_params(x.shape[1], kernel, f, seed=3)
+    # block=32 forces padding AND multiple scan steps on both clouds.
+    got = np.asarray(feature_apply_streamed(
+        omega, phase, jnp.array(x), jnp.array(y), jnp.array(b),
+        normalize_rows=normalize, block=32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_wrapper_matches_materialized(clouds):
+    """RandomFeatureProduct flips to streaming past the byte threshold
+    and produces the same result as the materialized mode."""
+    x, y, b = clouds
+    results = {}
+    for label, stream_bytes in [("mat", 1 << 40), ("stream", 1)]:
+        algo = RandomFeatureProduct(
+            kernel="gaussian", dimension=3, num_features=64, seed=7,
+            stream_bytes=stream_bytes)
+        algo.prepare_data(source_points=y, target_points=x)
+        algo.fit()
+        algo.prepare_query(source_signal=b)
+        algo.query()
+        results[label] = algo.get_result()
+        assert algo.get_additional()["streaming"] == (label == "stream")
+        algo.done()
+    np.testing.assert_allclose(results["stream"], results["mat"],
+                               rtol=2e-5, atol=2e-5)
