@@ -31,6 +31,17 @@ from kmb_tpu.results import CustomJSONizer, store_result
 logger = logging.getLogger("kmb")
 
 
+def _backend_name():
+    """Backend the row was measured on — stored in every result's attrs
+    so chip rows and virtual-CPU-mesh rows (the scaling sweeps) are
+    distinguishable post-hoc."""
+    try:
+        import jax
+        return str(jax.default_backend())
+    except Exception:
+        return "unknown"
+
+
 def _maybe_profile(dataset, definition, run_index, runs, group_pos):
     """Opt-in profiler trace around the last (warmed) query repetition.
 
@@ -170,6 +181,7 @@ def run(*, definition, dataset, runs):
                 build_time=build_time,
                 query_time=query_time,
                 memory_footprint=mem_footprint,
+                backend=_backend_name(),
                 **algo.get_additional(),
             )
             if trace_dir is not None:

@@ -23,6 +23,7 @@ import numpy as np
 
 
 def measure(n, d, e, kernel, device_counts, runs):
+    import kmb_tpu  # noqa: F401  (honors KMB_PLATFORM before backend init)
     import jax
     import jax.numpy as jnp
 
@@ -68,6 +69,11 @@ def main(argv=None):
                         help="device counts to test (default 1,2,4,..,P)")
     args = parser.parse_args(argv)
 
+    # Import kmb_tpu BEFORE jax touches the backend: this environment
+    # pins jax_platforms and ignores JAX_PLATFORMS, so a bare
+    # `import jax` here would silently select the hardware backend even
+    # under KMB_PLATFORM=cpu (kmb_tpu's import hook applies it).
+    import kmb_tpu  # noqa: F401
     import jax
     available = len(jax.devices())
     counts = args.devices or [
