@@ -56,3 +56,27 @@ class DummySolver(BaseSolver):
 
     def query(self):
         self.res = np.random.randn(self.n_sources, self.n_outputs)
+
+
+class TrackingProduct(DummyProduct):
+    """Counts concurrently-fitted instances — fixture for the runner's
+    one-fitted-state-at-a-time build loop (two fitted states at once is
+    the HBM-exhaustion mode at M=2^20)."""
+
+    live_fitted = 0
+    max_live_fitted = 0
+
+    @classmethod
+    def reset_counters(cls):
+        cls.live_fitted = cls.max_live_fitted = 0
+
+    def fit(self):
+        cls = TrackingProduct
+        cls.live_fitted += 1
+        cls.max_live_fitted = max(cls.max_live_fitted, cls.live_fitted)
+        self._fitted = True
+
+    def done(self):
+        if getattr(self, "_fitted", False):
+            TrackingProduct.live_fitted -= 1
+            self._fitted = False

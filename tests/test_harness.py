@@ -257,3 +257,29 @@ class TestFailureAccounting:
         main(["--dataset", self.DATASET, "--definitions", ALGOS_YAML,
               "--algorithm", "dummy-product", "--run-disabled", "--local",
               "--runs", "1"])
+
+
+def test_build_loop_keeps_one_fitted_state(tmp_path, monkeypatch):
+    """The best-of-N build loop must never hold two fitted algorithm
+    states at once (two 8 GB factor sets exceed a 16 GB chip at M=2^20):
+    each candidate is released before the next one fits, and the warm
+    last candidate serves the query phase."""
+    from kmb_tpu.algorithms.dummy import TrackingProduct
+    from kmb_tpu.definitions import Definition
+    from kmb_tpu.runner import run
+
+    monkeypatch.setenv("KMB_RESULTS_DIR", str(tmp_path / "results"))
+    TrackingProduct.reset_counters()
+    definition = Definition(
+        algorithm="tracking-product",
+        module="kmb_tpu.algorithms.dummy",
+        constructor="TrackingProduct",
+        arguments={"kernel": "inverse-distance", "dimension": 3},
+        query_argument_groups=[{}],
+    )
+    run(definition=definition,
+        dataset="product-sphere-D3-E1-M1000-N1000-inverse-distance",
+        runs=3)
+    assert TrackingProduct.max_live_fitted == 1
+    # The runner's finally-block released the winning candidate too.
+    assert TrackingProduct.live_fitted == 0
