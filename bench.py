@@ -172,6 +172,51 @@ def write_suite_json():
                   f, indent=2)
 
 
+def _fast_normal(rng, shape):
+    """Box-Muller standard normals from uniform draws, float32.
+
+    This host's ziggurat `standard_normal` runs at ~3M draws/s (measured
+    — ~60x below its `random` uniform rate), turning the D=784 point
+    cloud (1e8 draws) into a hidden 30-90s per-entry cost.  Box-Muller
+    over vectorized uniforms generates the same distribution at
+    ~50M draws/s.
+    """
+    count = int(np.prod(shape))
+    half = (count + 1) // 2
+    u1 = rng.random(half, dtype=np.float32)
+    u2 = rng.random(half, dtype=np.float32)
+    r = np.sqrt(-2.0 * np.log(np.maximum(u1, np.float32(1e-30))))
+    theta = np.float32(2.0 * np.pi) * u2
+    out = np.concatenate([r * np.cos(theta), r * np.sin(theta)])[:count]
+    return out.reshape(shape)
+
+
+def _staged_arrays(n, d, e):
+    """Device-resident (x, b) for an entry, reused across entries.
+
+    Staging is the other hidden per-entry cost: the D=784 cloud is
+    411 MB, ~25s over the tunneled chip, and the bf16/f32x3/f32 tier
+    entries of one shape re-staged identical data.  One-slot cache:
+    entries are ordered so equal shapes are adjacent.
+    """
+    import jax
+    import jax.numpy as jnp
+    from kmb_tpu.utils import hard_fence
+
+    key = (n, d, e)
+    cached = STATE.get("staged")
+    if cached is not None and cached[0] == key:
+        return cached[1], cached[2]
+    STATE["staged"] = None  # drop the old buffers before staging new ones
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        _fast_normal(rng, (n, d)) / np.sqrt(d), jnp.float32))
+    b = jax.device_put(jnp.asarray(_fast_normal(rng, (n, e)), jnp.float32))
+    hard_fence((x, b))
+    STATE["staged"] = (key, x, b)
+    return x, b
+
+
 def _best_of(fn, runs):
     best = float("inf")
     for _ in range(runs):
@@ -249,12 +294,7 @@ def run_product(cfg, runs):
     from kmb_tpu.utils import hard_fence
 
     n, d, e = cfg["n"], cfg["d"], cfg["e"]
-    rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(
-        rng.standard_normal((n, d)) / np.sqrt(d), jnp.float32))
-    b = jax.device_put(jnp.asarray(
-        rng.standard_normal((n, e)), jnp.float32))
-    hard_fence((x, b))
+    x, b = _staged_arrays(n, d, e)
 
     if cfg.get("schedule") == "ring":
         # 1-device ring: measures the ring schedule's overhead floor over
@@ -696,57 +736,59 @@ SUITE = [
     dict(name="blr-invdist-sphere-D3-M131072-rank16", task="blr",
          kernel="inverse-distance", m=131072, d=3, leaf=256, rank=16,
          eta=2.0, geometry="sphere", est=120),
-    # MXU-regime flagship: the matmul-bound D=784 bf16 row (the form
-    # GEMM dominates at ~780 MACs per transcendental).
+    # -- breadth, grouped by STAGED SHAPE (n, d, e): entries sharing a
+    # shape reuse the device-resident points (_staged_arrays one-slot
+    # cache) — the D=784 cloud alone is 411 MB / ~25s over the tunnel,
+    # and host normal generation is the other per-shape fixed cost.
+    # MXU-regime flagship first within its group.
     dict(name="product-gaussian-D784-E1-bf16", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16",
-         est=115),
-    # -- breadth, cheap-first (precision tiers x form regimes) ---------------
-    dict(name="attention-exponential-D25-E1-bf16", task="attention",
-         kernel="exponential", n=2**19, d=25, e=1, precision="bfloat16",
-         normalize_rows=True, est=12),
-    dict(name="product-gaussian-D64-E1-f32x3", task="product",
-         kernel="gaussian", n=2**19, d=64, e=1, precision="float32x3",
-         est=22),
-    dict(name="product-gaussian-D64-E8-f32x3", task="product",
-         kernel="gaussian", n=2**19, d=64, e=8, precision="float32x3",
-         est=20),
-    dict(name="attention-exponential-D64-E8-f32x3", task="attention",
-         kernel="exponential", n=2**19, d=64, e=8, precision="float32x3",
-         normalize_rows=True, est=20),
-    dict(name="product-gaussian-D25-E1-f32x3", task="product",
-         kernel="gaussian", n=2**19, d=25, e=1, precision="float32x3",
-         est=35),
-    dict(name="attention-exponential-D25-E1-f32x3", task="attention",
-         kernel="exponential", n=2**19, d=25, e=1, precision="float32x3",
-         normalize_rows=True, est=30),
+         est=55),
     dict(name="product-gaussian-D784-E1-f32x3", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="float32x3",
-         est=35),
-    dict(name="attention-exponential-D3-E1-f32", task="attention",
-         kernel="exponential", n=2**19, d=3, e=1, precision="float32",
-         normalize_rows=True, est=30),
-    dict(name="product-gaussian-D25-E1-f32", task="product",
-         kernel="gaussian", n=2**19, d=25, e=1, precision="float32",
-         est=42),
-    dict(name="attention-exponential-D25-E1-f32", task="attention",
-         kernel="exponential", n=2**19, d=25, e=1, precision="float32",
-         normalize_rows=True, est=42),
-    dict(name="product-gaussian-D64-E8-f32", task="product",
-         kernel="gaussian", n=2**19, d=64, e=8, precision="float32",
-         est=40),
-    dict(name="attention-exponential-D64-E8-f32", task="attention",
-         kernel="exponential", n=2**19, d=64, e=8, precision="float32",
-         normalize_rows=True, est=40),
+         est=16),
     dict(name="product-gaussian-D784-E1-f32", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="float32",
-         est=38),
+         est=18),
+    dict(name="attention-exponential-D25-E1-bf16", task="attention",
+         kernel="exponential", n=2**19, d=25, e=1, precision="bfloat16",
+         normalize_rows=True, est=22),
+    dict(name="attention-exponential-D25-E1-f32x3", task="attention",
+         kernel="exponential", n=2**19, d=25, e=1, precision="float32x3",
+         normalize_rows=True, est=14),
+    dict(name="attention-exponential-D25-E1-f32", task="attention",
+         kernel="exponential", n=2**19, d=25, e=1, precision="float32",
+         normalize_rows=True, est=16),
+    dict(name="product-gaussian-D25-E1-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=25, e=1, precision="float32x3",
+         est=14),
+    dict(name="product-gaussian-D25-E1-f32", task="product",
+         kernel="gaussian", n=2**19, d=25, e=1, precision="float32",
+         est=16),
+    dict(name="attention-exponential-D3-E1-f32", task="attention",
+         kernel="exponential", n=2**19, d=3, e=1, precision="float32",
+         normalize_rows=True, est=18),
+    dict(name="product-gaussian-D64-E1-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=64, e=1, precision="float32x3",
+         est=20),
+    dict(name="product-gaussian-D64-E8-f32x3", task="product",
+         kernel="gaussian", n=2**19, d=64, e=8, precision="float32x3",
+         est=22),
+    dict(name="product-gaussian-D64-E8-f32", task="product",
+         kernel="gaussian", n=2**19, d=64, e=8, precision="float32",
+         est=16),
     dict(name="product-gaussian-D64-E8-bf16", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="bfloat16",
-         est=28),
+         est=14),
+    dict(name="attention-exponential-D64-E8-f32x3", task="attention",
+         kernel="exponential", n=2**19, d=64, e=8, precision="float32x3",
+         normalize_rows=True, est=14),
+    dict(name="attention-exponential-D64-E8-f32", task="attention",
+         kernel="exponential", n=2**19, d=64, e=8, precision="float32",
+         normalize_rows=True, est=16),
     dict(name="attention-exponential-D64-E8-bf16", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="bfloat16",
-         normalize_rows=True, est=28),
+         normalize_rows=True, est=14),
     # -- heavy preconditioned-solver tail ------------------------------------
     dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,

@@ -314,14 +314,19 @@ def _flash_kernel_body(offs_ref, x_ref, y_ref, b_ref,
         l_out[:] = l_ref[:]
 
 
-def default_blocks(d: int, m: int, n: int, e: int = 1):
+def default_blocks(d: int, m: int, n: int, e: int = 1,
+                   precision: str = "float32"):
     """Pick tile sizes that keep the working set under scoped VMEM (16MB).
 
     Swept on a v5e chip (N=M=262144, f32): the VPU-form regime (small D)
     peaks at (1024, 2048) — 2.7e11 pairs/s vs 2.2e11 at (256, 1024) —
     for the direct, masked, and flash paths alike; the MXU-form regime
     peaks at (1024, 512) for D≈64 and must shrink to (512, 512) by D≈784
-    (larger tiles fail VMEM allocation).
+    (larger tiles fail VMEM allocation) — EXCEPT at bfloat16, whose
+    2-byte point/signal tiles leave room for (1024, 512) at D=784 too
+    (round-5 sweep, artifacts/r05_mxu_sweep_bf16.jsonl: 108.0 TFLOP/s vs
+    104.2 at (512, 512); f32/f32x3 tiles at those shapes fail Mosaic
+    VMEM allocation, same sweep).
 
     Wide signals (e.g. the rank-wide sketch matvec of the Nystrom
     preconditioner, solve.py:209) scale the b/out/acc tiles by E, so the
@@ -329,15 +334,21 @@ def default_blocks(d: int, m: int, n: int, e: int = 1):
     tile + double-buffered points and signal + accumulators — fits the
     scoped-VMEM budget.
     """
+    bf16 = precision == "bfloat16"
     if d <= 8:
         block_n, block_m = 1024, 2048
-    elif d <= 256:
+    elif d <= 256 or bf16:
         block_n, block_m = 1024, 512
     else:
         block_n, block_m = 512, 512
 
     e_pad = _ceil_to(e + 1, LANE)      # worst case: den column rides in b
     d_pad = _ceil_to(d + 2, 8 if d <= 8 else LANE)
+    # bf16 point/signal tiles are 2 bytes; the form tile and accumulator
+    # stay f32.  The 4-byte model below is kept for the f32 tiers (their
+    # larger shapes measurably fail Mosaic VMEM allocation at D=784);
+    # for bf16 the halved point-tile cost is what admits block_n=1024.
+    pt_bytes = 2 if bf16 else 4
 
     # Wide signals (e_pad > one 128-lane group) defeat the compiler's
     # in-place fusion of the kernel map into the form tile and keep more
@@ -348,10 +359,10 @@ def default_blocks(d: int, m: int, n: int, e: int = 1):
     acc_k = 3 if e_pad <= LANE else 6
 
     def working_set(bn, bm):
-        return 4 * (form_k * bn * bm       # form (+ kernel) tile (f32)
-                    + 2 * bm * e_pad       # double-buffered signal tile
-                    + acc_k * bn * e_pad   # accumulator + buffered out
-                    + 2 * (bn + bm) * d_pad)   # double-buffered points
+        return (4 * form_k * bn * bm       # form (+ kernel) tile (f32)
+                + pt_bytes * 2 * bm * e_pad    # double-buffered signal
+                + 4 * acc_k * bn * e_pad   # accumulator + buffered out
+                + pt_bytes * 2 * (bn + bm) * d_pad)  # dbl-buffered points
 
     budget = 12_500_000  # leave headroom inside the 16MB scoped limit
     while working_set(block_n, block_m) > budget and block_m > 512:
@@ -405,7 +416,8 @@ def kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     md = spec.zero_diagonal if mask_diagonal is None else mask_diagonal
     n, d = x.shape
     m = y.shape[0]
-    bn, bm = default_blocks(d, m, n, 1 if b is None else b.shape[1])
+    bn, bm = default_blocks(d, m, n, 1 if b is None else b.shape[1],
+                            precision=kwargs.get("precision", "float32"))
     bn = block_n if block_n is not None else bn
     bm = block_m if block_m is not None else bm
 
@@ -494,7 +506,7 @@ def _kernel_matvec_pallas(x, y, b, *, kernel_name: str,
     needs_den = (not use_flash) and (
         normalize_rows or (density_estimation and not b_was_none))
 
-    bn, bm = default_blocks(d, m, n, e)
+    bn, bm = default_blocks(d, m, n, e, precision=precision)
     if block_n is not None:
         bn = block_n
     if block_m is not None:
