@@ -208,10 +208,13 @@ def _staged_arrays(n, d, e):
     if cached is not None and cached[0] == key:
         return cached[1], cached[2]
     STATE["staged"] = None  # drop the old buffers before staging new ones
-    rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(
-        _fast_normal(rng, (n, d)) / np.sqrt(d), jnp.float32))
-    b = jax.device_put(jnp.asarray(_fast_normal(rng, (n, e)), jnp.float32))
+    # Generated ON DEVICE: the D=784 cloud is 411 MB, ~50-130s to push
+    # over the tunneled chip (measured, artifacts/r05_xfer_probe.py) and
+    # milliseconds to generate there.  Rates are data-independent, so
+    # the provenance of the standard-normal cloud does not matter.
+    kx, kb = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, d), jnp.float32) / np.sqrt(d)
+    b = jax.random.normal(kb, (n, e), jnp.float32)
     hard_fence((x, b))
     STATE["staged"] = (key, x, b)
     return x, b
@@ -262,8 +265,8 @@ def baseline_product(*, kernel, d, e, normalize_rows, runs):
 
     n = D_BASE_N
     rng = np.random.default_rng(0)
-    pts = rng.standard_normal((n, d)) / np.sqrt(d)
-    sig = rng.standard_normal((n, e))
+    pts = _fast_normal(rng, (n, d)).astype(np.float64) / np.sqrt(d)
+    sig = _fast_normal(rng, (n, e)).astype(np.float64)
     algo = BruteForceProductBLAS(
         kernel=kernel, dimension=d, precision="float32",
         normalize_rows=normalize_rows, fast_sqdists=True)
@@ -698,7 +701,7 @@ SUITE = [
     # -- headline + VPU-form regime (small D) --------------------------------
     dict(name="product-gaussian-D3-E1-f32", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="float32",
-         est=195),
+         est=40),
     dict(name="product-gaussian-D3-E1-bf16", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="bfloat16",
          est=12),
@@ -706,7 +709,7 @@ SUITE = [
     # context-parallel path against the direct engine above.
     dict(name="product-gaussian-D3-E1-f32-ring", task="product",
          kernel="gaussian", n=2**20, d=3, e=1, precision="float32",
-         schedule="ring", est=13),
+         schedule="ring", est=18),
     # -- required record rows ------------------------------------------------
     # Indefinite-system mixed-precision IR: f64 host residuals over
     # plain-MINRES inner solves — the measured accuracy winner on the
@@ -716,7 +719,7 @@ SUITE = [
          task="solver", kernel="inverse-distance", m=32768, d=3, e=1,
          precision="float32", tol=1e-9, max_iters=600, mode="ir",
          precond_rank=0, refine_iters=4, inner_tol=1e-4,
-         geometry="sphere", est=55),
+         geometry="sphere", est=70),
     # Mixed-precision iterative refinement AT SCALE (M=65536): float64
     # host residuals break the f32 Krylov floor.  precond_rank=0 keeps
     # the row inside driver budgets (plain-CG inner solves; the
@@ -726,7 +729,7 @@ SUITE = [
     dict(name="solver-ir-plain-absexp-D3-M65536-f32", task="solver",
          kernel="absolute-exponential", m=65536, d=3, e=1,
          precision="float32", tol=1e-9, max_iters=600, mode="ir",
-         precond_rank=0, refine_iters=4, inner_tol=1e-5, est=90),
+         precond_rank=0, refine_iters=4, inner_tol=1e-5, est=110),
     # Fixed-rank BLR (randomized range-finder, no QDWH): compiles in
     # seconds, so the H-matrix slot appears in driver-budget runs too
     # (the adaptive-epsilon rows need KMB_BENCH_FULL=1).
@@ -735,7 +738,7 @@ SUITE = [
     # factors, past the 16 GB HBM (measured RESOURCE_EXHAUSTED).
     dict(name="blr-invdist-sphere-D3-M131072-rank16", task="blr",
          kernel="inverse-distance", m=131072, d=3, leaf=256, rank=16,
-         eta=2.0, geometry="sphere", est=120),
+         eta=2.0, geometry="sphere", est=45),
     # -- breadth, grouped by STAGED SHAPE (n, d, e): entries sharing a
     # shape reuse the device-resident points (_staged_arrays one-slot
     # cache) — the D=784 cloud alone is 411 MB / ~25s over the tunnel,
@@ -743,57 +746,57 @@ SUITE = [
     # MXU-regime flagship first within its group.
     dict(name="product-gaussian-D784-E1-bf16", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="bfloat16",
-         est=55),
+         est=15),
     dict(name="product-gaussian-D784-E1-f32x3", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="float32x3",
-         est=16),
+         est=8),
     dict(name="product-gaussian-D784-E1-f32", task="product",
          kernel="gaussian", n=2**17, d=784, e=1, precision="float32",
-         est=18),
+         est=10),
     dict(name="attention-exponential-D25-E1-bf16", task="attention",
          kernel="exponential", n=2**19, d=25, e=1, precision="bfloat16",
-         normalize_rows=True, est=22),
+         normalize_rows=True, est=15),
     dict(name="attention-exponential-D25-E1-f32x3", task="attention",
          kernel="exponential", n=2**19, d=25, e=1, precision="float32x3",
-         normalize_rows=True, est=14),
+         normalize_rows=True, est=30),
     dict(name="attention-exponential-D25-E1-f32", task="attention",
          kernel="exponential", n=2**19, d=25, e=1, precision="float32",
          normalize_rows=True, est=16),
     dict(name="product-gaussian-D25-E1-f32x3", task="product",
          kernel="gaussian", n=2**19, d=25, e=1, precision="float32x3",
-         est=14),
+         est=10),
     dict(name="product-gaussian-D25-E1-f32", task="product",
          kernel="gaussian", n=2**19, d=25, e=1, precision="float32",
-         est=16),
+         est=14),
     dict(name="attention-exponential-D3-E1-f32", task="attention",
          kernel="exponential", n=2**19, d=3, e=1, precision="float32",
-         normalize_rows=True, est=18),
+         normalize_rows=True, est=14),
     dict(name="product-gaussian-D64-E1-f32x3", task="product",
          kernel="gaussian", n=2**19, d=64, e=1, precision="float32x3",
-         est=20),
+         est=14),
     dict(name="product-gaussian-D64-E8-f32x3", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="float32x3",
-         est=22),
+         est=28),
     dict(name="product-gaussian-D64-E8-f32", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="float32",
-         est=16),
+         est=22),
     dict(name="product-gaussian-D64-E8-bf16", task="product",
          kernel="gaussian", n=2**19, d=64, e=8, precision="bfloat16",
-         est=14),
+         est=8),
     dict(name="attention-exponential-D64-E8-f32x3", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="float32x3",
          normalize_rows=True, est=14),
     dict(name="attention-exponential-D64-E8-f32", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="float32",
-         normalize_rows=True, est=16),
+         normalize_rows=True, est=22),
     dict(name="attention-exponential-D64-E8-bf16", task="attention",
          kernel="exponential", n=2**19, d=64, e=8, precision="bfloat16",
-         normalize_rows=True, est=14),
+         normalize_rows=True, est=20),
     # -- heavy preconditioned-solver tail ------------------------------------
     dict(name="solver-cg-nystrom-absexp-D3-M131072-f32", task="solver",
          kernel="absolute-exponential", m=131072, d=3, e=1,
          precision="float32", tol=1e-5, max_iters=600, precond_rank=512,
-         est=170),
+         est=190),
     # Block-Jacobi on the same system (shares the plain baseline above).
     # leaf=1024 is the tuned config (512 halves the block coupling and
     # costs 2.4x the iterations); vs_baseline is an ACCURACY multiple —
@@ -809,7 +812,7 @@ SUITE = [
     # keep: plain CG stalls above tolerance while PCG converges, faster.
     dict(name="solver-cg-nystrom-gaussian-D3-M131072-f32", task="solver",
          kernel="gaussian", m=131072, d=3, e=1, precision="float32",
-         tol=1e-5, max_iters=600, precond_rank=256, est=130),
+         tol=1e-5, max_iters=600, precond_rank=256, est=80),
     # Preconditioned MINRES on the indefinite system, sphere geometry —
     # kept as an honest NEGATIVE record: on a uniform surface the
     # diagonal kernel blocks do not dominate and block-abs MINRES
@@ -818,7 +821,7 @@ SUITE = [
     dict(name="solver-minres-jacobi-invdist-sphere-D3-M65536-f32",
          task="solver", kernel="inverse-distance", m=65536, d=3, e=1,
          precision="float32", tol=1e-4, max_iters=600, mode="jacobi",
-         leaf=512, geometry="sphere", est=160),
+         leaf=512, geometry="sphere", est=100),
     # -- KMB_BENCH_FULL only -------------------------------------------------
     # The adaptive-epsilon compression build compiles its QDWH-heavy
     # batched SVD for ~14 minutes cold — far past any driver budget, so
@@ -871,6 +874,17 @@ def main():
 
     signal.signal(signal.SIGTERM, _sig_handler)
     signal.signal(signal.SIGINT, _sig_handler)
+
+    # Persistent compilation cache, on by default for bench runs (set
+    # KMB_COMPILE_CACHE=0 to disable): round-5 probes validated
+    # populate AND fresh-process load on the tunneled chip (load 0.3s
+    # vs 1.5-140s compiles), so a calibration run's cache makes every
+    # later run's compiles near-free.
+    if os.environ.get("KMB_COMPILE_CACHE", "") == "":
+        os.environ["KMB_COMPILE_CACHE"] = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    elif os.environ["KMB_COMPILE_CACHE"] == "0":
+        del os.environ["KMB_COMPILE_CACHE"]
 
     import kmb_tpu  # noqa: F401  (honors KMB_PLATFORM before backend init)
     import jax
@@ -941,10 +955,14 @@ def main():
         entry["wall_seconds"] = time.perf_counter() - t_entry
         # Feed the measured cost back into the gate (entries under ~15s
         # are mostly noise around process overheads — skip those).
+        # Ratios below 1 are real too: with a warm compile cache and
+        # populated baseline sidecar, measured walls run well under the
+        # cold estimates, and the gate should admit the tail instead of
+        # skipping entries that would fit.
         if est >= 15:
             ratios.append(entry["wall_seconds"] / est)
             med = sorted(ratios)[len(ratios) // 2]
-            STATE["est_ratio"] = min(2.5, max(1.0, med))
+            STATE["est_ratio"] = min(2.5, max(0.4, med))
         _echo(cfg, entry, backend)
         STATE["suite"][cfg["name"]] = {
             **{k: v for k, v in cfg.items() if k not in ("name", "est")},
