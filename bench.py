@@ -52,10 +52,13 @@ protocol, main.py:121-129), KMB_BENCH_BUDGET (seconds), KMB_BENCH_SUITE=0
 to run only the headline config, KMB_BENCH_ONLY=name1,name2 to run the
 headline plus the named entries (unknown names abort loudly),
 KMB_BENCH_N to override the headline N=M, KMB_BENCH_FULL=1 to include
-the compile-heavy adaptive-epsilon BLR entries (their cold QDWH compile
-is ~14 min — never inside a driver budget; measured numbers live in
-artifacts/scale/BENCH_FULL_r04.json), KMB_BENCH_REFRESH_BASELINES=1 to
-ignore the sidecar and re-measure every baseline.
+the adaptive-epsilon BLR entries (their builds are minutes-long even
+after the round-5 host-eigh rework — never inside a driver budget;
+measured numbers live in artifacts/scale/BENCH_FULL_r04.json and the
+round-5 calibration log artifacts/r05_bench_cal.err),
+KMB_BENCH_REFRESH_BASELINES=1 to ignore the sidecar and re-measure
+every baseline, KMB_COMPILE_CACHE=0 to disable the default persistent
+compilation cache.
 """
 
 from __future__ import annotations
