@@ -37,12 +37,12 @@ if _platform:
 
 # Persistent XLA compilation cache, shared across the runner's
 # per-experiment subprocesses (runner.py isolates every definition in a
-# fresh process, so without this each one re-pays the full compile —
-# minutes for QDWH-heavy programs like the BLR build).  Opt IN with
-# KMB_COMPILE_CACHE=<dir> (or "1" for the default location): serialized
-# executables are loaded back through the backend, which remote
-# (tunneled) backends may not support — verify on your backend before
-# enabling it for a sweep.
+# fresh process, so without this each one re-pays the full compile).
+# Opt IN with KMB_COMPILE_CACHE=<dir> (or "1" for the default
+# location); "0" disables.  Validated on the tunneled-TPU backend
+# (round 5): populate and fresh-process load both work — loads take
+# ~0.3s against 1.5s-2min compiles.  bench.py turns it on by default
+# for benchmark runs; the harness leaves it opt-in.
 _cache = _os.environ.get("KMB_COMPILE_CACHE", "")
 if _cache and _cache != "0":
     import jax as _jax
