@@ -139,13 +139,24 @@ def load_results_grouped(datasets=None, recompute=False):
     """{by_dataset, by_algorithm} nested aggregation of all stored runs."""
     by_dataset, by_algorithm = {}, {}
     dataset_files = {}
+    skipped_no_data = set()
     try:
         for properties, result_file in load_all_results():
             dataset_name = properties["dataset"]
             if datasets and dataset_name not in datasets:
                 continue
             if dataset_name not in dataset_files:
+                # Metrics need the dataset HDF5 open (attrs + shapes); a
+                # missing data file would force regenerating ground truth
+                # (hours at 2^20 scale), so skip the dataset — loudly, or
+                # a results/ checkout without data/ looks like an almost
+                # empty website for no visible reason.
                 if not os.path.exists(get_dataset_fn(dataset_name)):
+                    if dataset_name not in skipped_no_data:
+                        skipped_no_data.add(dataset_name)
+                        print(f"WARNING: skipping {dataset_name}: no data "
+                              f"file at {get_dataset_fn(dataset_name)} "
+                              "(run create_dataset.py to include it)")
                     continue
                 dataset_files[dataset_name] = get_dataset(dataset_name)[0]
             entry = compute_all_metrics(
