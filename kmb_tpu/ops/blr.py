@@ -278,9 +278,18 @@ def compress_far_blocks(xpts, ypts, far_i, far_j, *, kernel_name: str,
                               dtype=jnp.float32)
 
     def one(i, j):
+        # HIGHEST precision on the sketch matmuls: the projection
+        # q.T @ k_tile IS the stored V factor, and at the TPU's default
+        # bf16-pass precision its ~1e-3 relative noise (a) pollutes the
+        # compressed operator and (b) floors every block's sketch
+        # spectrum near 1e-6*sigma1^2, so select_block_ranks at
+        # epsilon <= 1e-4 retains FULL rank for every pair — 17 GB of
+        # factors at M=131072/rank=64 where the true decay needs ~6.
         k_tile = _kernel_tile(spec, xpts[i], ypts[j])
-        q, _ = jnp.linalg.qr(k_tile @ omega)
-        return q, q.T @ k_tile
+        q, _ = jnp.linalg.qr(jnp.matmul(
+            k_tile, omega, precision=jax.lax.Precision.HIGHEST))
+        return q, jnp.matmul(q.T, k_tile,
+                             precision=jax.lax.Precision.HIGHEST)
 
     def chunk_fn(pair_chunk):
         return jax.vmap(one)(pair_chunk[0], pair_chunk[1])
@@ -399,8 +408,9 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
 
     Symmetric (same_points) operators exploit K = K^T two ways (Htool's
     `symmetry`/`UPLO` knob, reference htool.py:44-52, done TPU-style):
-    `mirror_groups` (u, v, gather_i, seg_j) apply the stored i<j far
-    factors transposed, V^T (U^T b_i) -> block j; `near_sym`
+    `mirror_groups` (gather_i, seg_j) — index arrays only, zipped
+    tier-for-tier with `far_groups` for the factors — apply the stored
+    i<j far factors transposed, V^T (U^T b_i) -> block j; `near_sym`
     (i, j, seg_i, seg_j) lists i<j near pairs whose tile is computed once
     and applied as both K_ij @ b_j and K_ij^T @ b_i.  `near` is the
     forward-only list (the diagonal blocks when symmetric; everything
@@ -466,8 +476,14 @@ def blr_matvec_blocks(xpts, ypts, gid_x, gid_y, far_groups, mirror_groups,
     # Symmetric (same_points) operators store only the i < j factors and
     # apply each one twice: K_ji = K_ij^T ~= V^T U^T (Htool's `symmetry`
     # knob, reference htool.py:44-52, done TPU-style — same batched
-    # einsums, transposed contraction).
-    for u, v, gather, seg in mirror_groups:
+    # einsums, transposed contraction).  mirror_groups carries only the
+    # (gather_i, seg_j) index arrays; the factors are REUSED from the
+    # matching far_groups tier.  Duplicating u/v as separate pytree
+    # leaves doubles the jit argument footprint in the AOT compiler's
+    # HBM accounting (duplicate leaves become distinct parameters), which
+    # rejected programs whose real footprint fit: 15.46G "arguments" for
+    # 7.73G of factors at M=131072, leaf=256, rank=32, eta=1.0.
+    for (u, v, _fj, _fs), (gather, seg) in zip(far_groups, mirror_groups):
         t = jnp.einsum("plr,ple->pre", u, b_blocks[gather],
                        precision=jax.lax.Precision.HIGHEST)
         outs.append(jnp.einsum("prl,pre->ple", v, t,
@@ -592,8 +608,10 @@ class BlrOperator:
             # segment and are dropped by the matvec.
             self.far_groups = ((u, v, fj, fseg_i),)
             # Symmetric: the same factors, applied transposed, cover the
-            # unstored j > i triangle (Htool htool.py:44-52).
-            self.mirror_groups = (((u, v, fi, fseg_j),)
+            # unstored j > i triangle (Htool htool.py:44-52).  Only the
+            # index arrays are stored — blr_matvec_blocks reuses the
+            # far_groups factors tier-for-tier.
+            self.mirror_groups = (((fi, fseg_j),)
                                   if same_points else ())
             self.block_ranks = np.full(pf, rank, dtype=np.int64)
         else:
@@ -639,9 +657,9 @@ class BlrOperator:
                                jnp.concatenate([p[2] for p in parts]),
                                jnp.concatenate([p[3] for p in parts])))
                 if same_points:
-                    mirrors.append((ut, vt,
-                                    jnp.concatenate([p[4] for p in parts]),
-                                    jnp.concatenate([p[5] for p in parts])))
+                    mirrors.append((
+                        jnp.concatenate([p[4] for p in parts]),
+                        jnp.concatenate([p[5] for p in parts])))
             self.far_groups = tuple(groups)
             self.mirror_groups = tuple(mirrors)
         self.n = int(np.asarray(x).shape[0])
